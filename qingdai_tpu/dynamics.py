@@ -1,0 +1,238 @@
+"""Atmosphere core: stabilized shallow-water-like grid-point step.
+
+Pure-functional TPU re-expression of ``SpectralModel.time_step``
+(/root/reference/pygcm/dynamics.py:260-667): humidity E/condensation,
+Newton/energy-blend surface temperature with sea ice, semi-Lagrangian
+advection of T_s/q, height relaxation + atmospheric energy tendency, momentum
+(geostrophic relaxation or primitive), and the anti-noise filter stack
+(σ4-adaptive ∇⁴ hyperdiffusion, Shapiro 1-2-1, zonal FFT band-stop) with
+step-cadence applied via lax.cond on the traced step index.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from . import constants as const
+from .config import SimConfig
+from .grid import Grid, grad_lonlat
+from .ops.advect import advect_semilag
+from .ops.stencil import hyperdiffuse, shapiro_filter, spectral_zonal_filter
+from .ops.reductions import masked_median_of_positive
+from .physics import energy as en
+from .physics import humidity as hum
+from .state import AtmosState, EnergyState, StaticFields
+
+
+def _every(step_idx, n: int):
+    """Traced predicate for 'every n steps' cadences (step_idx % n == 0)."""
+    if n <= 0:
+        return jnp.asarray(False)
+    return (step_idx % n) == 0
+
+
+def atmos_step(grid: Grid, cfg: SimConfig, static: StaticFields,
+               atmos: AtmosState, estate: EnergyState,
+               Teq, albedo, isr, step_idx, dt: float):
+    """One atmosphere step. Returns (AtmosState, EnergyState-relevant fields dict).
+
+    ``albedo`` engages the explicit energy branch (dynamics.py:326-449);
+    blending weight cfg.dynamics.energy_w reproduces QD_ENERGY_W semantics
+    (w=0 → pure Newton T_s update, but sea-ice thermodynamics still commits,
+    matching the reference's blend block at dynamics.py:440-449).
+    """
+    dcfg = cfg.dynamics
+    ecfg = cfg.energy
+    hcfg = cfg.humidity
+    a = const.PLANET_RADIUS
+    dlat, dlon = grid.dlat_rad, grid.dlon_rad
+
+    u, v, h = atmos.u, atmos.v, atmos.h
+    T_s, cloud, q, h_ice = atmos.T_s, atmos.cloud_cover, atmos.q, atmos.h_ice
+
+    # 1) T_a proxy (dynamics.py:274)
+    T_a = 288.0 + (dcfg.g / 1004.0) * h
+
+    # Humidity physics (dynamics.py:283-297)
+    surf_factor = hum.surface_evaporation_factor(static.land_mask, h_ice, hcfg)
+    E_flux = hum.evaporation_flux(T_s, q, u, v, surf_factor, hcfg)
+    LH = hcfg.L_v * E_flux
+    M_col = max(1e-6, float(hcfg.rho_a * hcfg.h_mbl))
+    q_evap = q + (E_flux / M_col) * dt
+    P_cond, q_next = hum.condensation(q_evap, T_a, dt, hcfg)
+    LH_release = hcfg.L_v * P_cond
+    q = jnp.clip(q_next, 0.0, 0.5)
+
+    # 2) Surface temperature: Newton path (dynamics.py:302-322)
+    absorbed_old = const.SIGMA * Teq ** 4
+    olr_old = const.SIGMA * T_s ** 4
+    ilr_old = ecfg.gh_factor * const.SIGMA * T_a ** 4
+    net_old = absorbed_old + ilr_old - olr_old
+    Ts_newton = T_s + (net_old / max(1e-12, ecfg.c_sfc)) * dt
+
+    # Energy path (dynamics.py:326-431)
+    # cloud-optics coupling from RH and P_cond (dynamics.py:330-353)
+    if dcfg.cloud_couple:
+        qsat_air = hum.q_sat(T_a, p=hcfg.p0)
+        RH = jnp.clip(q / jnp.maximum(1e-12, qsat_air), 0.0, 1.5)
+        rh_excess = jnp.maximum(0.0, RH - dcfg.rh0)
+        if dcfg.pcond_ref is not None:
+            P_ref = jnp.asarray(dcfg.pcond_ref, T_s.dtype)
+        else:
+            P_ref = masked_median_of_positive(P_cond, fallback=1e-6)
+        p_term = jnp.tanh(jnp.where(P_ref > 0, P_cond / P_ref, 0.0))
+        cloud_eff = jnp.clip(cloud + dcfg.k_q * rh_excess + dcfg.k_p * p_term, 0.0, 1.0)
+    else:
+        cloud_eff = cloud
+
+    SW_atm, SW_sfc, R = en.shortwave_radiation(isr, albedo, cloud_eff, ecfg)
+    ice_frac = 1.0 - jnp.exp(-jnp.maximum(h_ice, 0.0) / max(1e-6, cfg.physics.h_ice_ref))
+    if ecfg.lw_v2:
+        eps_sfc = en.surface_emissivity_map(static.land_mask, ice_frac, ecfg)
+        LW_atm, LW_sfc, OLR, DLR, _ = en.longwave_radiation_v2(
+            T_s, T_a, cloud_eff, eps_sfc, ecfg, eps0=estate.lw_eps0)
+    else:
+        LW_atm, LW_sfc, OLR, DLR, _ = en.longwave_radiation(
+            T_s, T_a, cloud_eff, ecfg, eps0=estate.lw_eps0, kc=estate.lw_kc)
+    SH, _LH_bowen = en.boundary_layer_fluxes(T_s, T_a, u, v, static.land_mask,
+                                             ecfg, rho=hcfg.rho_a)
+
+    if dcfg.seaice_enabled:
+        Cs_ocean = cfg.ocean.rho_w * cfg.ocean.cp_w * cfg.run.mld_m
+        Ts_energy, h_ice_next = en.integrate_surface_energy_with_seaice(
+            T_s, SW_sfc, LW_sfc, SH, LH, dt, static.land_mask, h_ice,
+            Cs_ocean, cfg.run.cs_land, cfg.run.cs_ice,
+            t_freeze=dcfg.t_freeze, rho_i=dcfg.rho_ice, L_f=dcfg.L_f,
+            t_floor=ecfg.t_floor,
+            polar_fix_s=dcfg.polar_freeze_fix_s, polar_fix_n=dcfg.polar_freeze_fix_n)
+    else:
+        Ts_energy = en.integrate_surface_energy_map(
+            T_s, SW_sfc, LW_sfc, SH, LH, dt, static.C_s_map, t_floor=ecfg.t_floor)
+        h_ice_next = h_ice
+
+    # Blend (dynamics.py:440-449)
+    w = min(1.0, max(0.0, dcfg.energy_w))
+    T_s = (1.0 - w) * Ts_newton + w * Ts_energy
+    h_ice = h_ice_next
+
+    # 2b) semi-Lagrangian advection of T_s and q (dynamics.py:453-461)
+    adv_alpha = dcfg.adv_alpha
+    cos_tiny = grid.coslat_cap_tiny
+    T_s = (1.0 - adv_alpha) * T_s + adv_alpha * advect_semilag(T_s, u, v, dt, a, dlat, dlon, cos_tiny)
+    q_adv = advect_semilag(q, u, v, dt, a, dlat, dlon, cos_tiny)
+    q = jnp.clip((1.0 - adv_alpha) * q + adv_alpha * q_adv, 0.0, 0.5)
+
+    # 3) height forcing toward h_eq (dynamics.py:463-467)
+    R_gas = 287.0
+    h_eq = (R_gas / dcfg.g) * Teq
+    h = h + (h_eq - h) / dcfg.tau_rad * dt
+
+    # M3: atmospheric energy → height (dynamics.py:469-480)
+    if dcfg.energy_w > 0.0:
+        H_atm = dcfg.atm_h if dcfg.atm_h is not None else hcfg.h_mbl
+        h = en.integrate_atmos_energy_height(h, SW_atm, LW_atm, SH, LH_release,
+                                             dt, rho_air=hcfg.rho_a, H_atm=H_atm,
+                                             g=dcfg.g, weight=dcfg.energy_w)
+
+    # 4) momentum (dynamics.py:482-530)
+    dh_dlon, dh_dlat = grad_lonlat(grid, h)
+    f = grid.f
+    if dcfg.mom_scheme == "primitive":
+        PGF_x = -(dcfg.g / (a * cos_tiny)) * dh_dlon
+        PGF_y = -(dcfg.g / a) * dh_dlat
+        du = (PGF_x + f * v - static.friction * u) * dt
+        dv = (PGF_y - f * u - static.friction * v) * dt
+        u = jnp.clip(u + du, -dcfg.max_wind, dcfg.max_wind)
+        v = jnp.clip(v + dv, -dcfg.max_wind, dcfg.max_wind)
+    else:
+        f_min = 2.0 * const.PLANET_OMEGA * jnp.sin(jnp.deg2rad(5.0))
+        sign = jnp.where(f >= 0.0, 1.0, -1.0)
+        f_safe = jnp.where(jnp.abs(f) < f_min, sign * f_min, f)
+        u_g = jnp.clip(-(dcfg.g / (f_safe * a * cos_tiny)) * dh_dlat,
+                       -dcfg.max_wind, dcfg.max_wind)
+        v_g = jnp.clip((dcfg.g / (f_safe * a)) * dh_dlon,
+                       -dcfg.max_wind, dcfg.max_wind)
+        u = u * 0.8 + u_g * 0.2
+        v = v * 0.8 + v_g * 0.2
+        u = u + (-static.friction * u) * dt
+        v = v + (-static.friction * v) * dt
+
+    # ---- filters (dynamics.py:532-639) ----
+    cos02 = grid.coslat_cap_02
+    if dcfg.diff_enable and dcfg.filter_type in ("hyper4", "combo"):
+        k4_base = dcfg.sigma4 * grid.k4_map_unit / max(1e-12, dt)
+        k4_u = dcfg.k4_u if dcfg.k4_u is not None else k4_base
+        k4_v = dcfg.k4_v if dcfg.k4_v is not None else k4_base
+        k4_h = dcfg.k4_h if dcfg.k4_h is not None else 0.5 * k4_base
+        k4_q = dcfg.k4_q if dcfg.k4_q is not None else 0.5 * k4_base
+        k4_c = dcfg.k4_cloud if dcfg.k4_cloud is not None else 0.25 * k4_base
+
+        def _apply_hyper(ops):
+            u_, v_, h_, q_, c_ = ops
+            u_ = hyperdiffuse(u_, k4_u, dt, dcfg.k4_nsub, dlat, dlon, cos02, a)
+            v_ = hyperdiffuse(v_, k4_v, dt, dcfg.k4_nsub, dlat, dlon, cos02, a)
+            h_ = hyperdiffuse(h_, k4_h, dt, dcfg.k4_nsub, dlat, dlon, cos02, a)
+            # q/cloud: σ4 maps are > 0 so the reference's np.any(k4>0) gate is
+            # true whenever maps are used; explicit scalar 0 overrides disable.
+            apply_q = dcfg.diff_q or (dcfg.k4_q is None) or (dcfg.k4_q > 0.0)
+            apply_c = dcfg.diff_cloud or (dcfg.k4_cloud is None) or (dcfg.k4_cloud > 0.0)
+            if apply_q:
+                q_ = hyperdiffuse(q_, k4_q, dt, 1, dlat, dlon, cos02, a)
+            if apply_c:
+                c_ = hyperdiffuse(c_, k4_c, dt, 1, dlat, dlon, cos02, a)
+            return u_, v_, h_, q_, c_
+
+        u, v, h, q, cloud = jax.lax.cond(
+            _every(step_idx, max(1, dcfg.diff_every)),
+            _apply_hyper, lambda ops: ops, (u, v, h, q, cloud))
+
+    # Shapiro cadence (dynamics.py:609-626): applied for hyper4/shapiro/combo
+    if dcfg.filter_type in ("shapiro", "combo", "hyper4") and dcfg.shapiro_every > 0:
+        def _apply_shapiro(ops):
+            u_, v_, h_, q_, c_ = ops
+            u_ = shapiro_filter(u_, n=dcfg.shapiro_n)
+            v_ = shapiro_filter(v_, n=dcfg.shapiro_n)
+            h_ = shapiro_filter(h_, n=dcfg.shapiro_n)
+            if dcfg.diff_q:
+                q_ = shapiro_filter(q_, n=max(1, dcfg.shapiro_n - 1))
+            if dcfg.diff_cloud:
+                c_ = shapiro_filter(c_, n=max(1, dcfg.shapiro_n - 1))
+            return u_, v_, h_, q_, c_
+        u, v, h, q, cloud = jax.lax.cond(
+            _every(step_idx, dcfg.shapiro_every),
+            _apply_shapiro, lambda ops: ops, (u, v, h, q, cloud))
+
+    if dcfg.filter_type in ("spectral", "combo") and dcfg.spec_every > 0:
+        def _apply_spec(ops):
+            u_, v_, h_ = ops
+            u_ = spectral_zonal_filter(u_, grid.n_lon, dcfg.spec_cutoff, dcfg.spec_damp)
+            v_ = spectral_zonal_filter(v_, grid.n_lon, dcfg.spec_cutoff, dcfg.spec_damp)
+            h_ = spectral_zonal_filter(h_, grid.n_lon, dcfg.spec_cutoff, dcfg.spec_damp)
+            return u_, v_, h_
+        u, v, h = jax.lax.cond(
+            _every(step_idx, dcfg.spec_every),
+            _apply_spec, lambda ops: ops, (u, v, h))
+
+    # Cloud advection + 2-day dissipation (dynamics.py:641-646)
+    cloud = advect_semilag(cloud, u, v, dt, a, dlat, dlon, cos_tiny)
+    cloud = cloud * (1.0 - dt / (2.0 * 24 * 3600))
+
+    # global mild diffusion and nan scrub (dynamics.py:648-667)
+    df = dcfg.diff_factor
+    u = jnp.nan_to_num(u * df)
+    v = jnp.nan_to_num(v * df)
+    h = jnp.nan_to_num(h * df)
+    cloud = jnp.nan_to_num(cloud * df)
+    q = jnp.nan_to_num(q * df)
+    T_s = jnp.nan_to_num(T_s)
+
+    new_atmos = AtmosState(
+        u=u, v=v, h=h, T_s=T_s, cloud_cover=cloud, q=q, h_ice=h_ice,
+        E_flux_last=E_flux, P_cond_flux_last=P_cond, LH_last=LH,
+        LH_release_last=LH_release, cloud_eff_last=cloud_eff, olr=OLR,
+    )
+    aux = {"SW_atm": SW_atm, "SW_sfc": SW_sfc, "R": R,
+           "LW_atm": LW_atm, "LW_sfc": LW_sfc, "OLR": OLR, "DLR": DLR,
+           "SH": SH, "LH": LH, "T_a": T_a}
+    return new_atmos, aux

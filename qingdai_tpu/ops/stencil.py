@@ -1,0 +1,101 @@
+"""Spherical stencil operators: ∇², ∇⁴ hyperdiffusion, Shapiro, zonal FFT filter.
+
+These are the hot kernels of the model — the reference applies the Laplacian
+pair (∇⁴ via two ∇²) to up to 5 atmosphere fields plus 3 ocean fields every
+step (/root/reference/pygcm/dynamics.py:144-213, ocean.py:100-152). Here they
+are pure jnp stencils that XLA fuses into a handful of HBM passes; a Pallas
+fast path for the fused multi-field filter lives in ops/pallas_stencil.py.
+
+Semantics follow the reference exactly:
+- longitude periodic (roll), latitude uses np.gradient one-sided edges
+- cosφ metric capped below (cap map passed in by caller; the atmosphere uses
+  max(cos, 0.2), the ocean max(cos, 0.5))
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from ..grid import _gradient_axis0_np
+
+
+def laplacian_sphere(F: jax.Array, dlat: float, dlon: float,
+                     coslat: jax.Array, a: float) -> jax.Array:
+    """Spherical Laplacian in divergence form with cosφ weighting.
+
+    Mirrors jax_compat.laplacian_sphere (/root/reference/pygcm/jax_compat.py:111-132):
+      (1/cos) ∂/∂φ (cos ∂F/∂φ) + (1/cos²) ∂²F/∂λ², all divided by a².
+    """
+    dF_dphi = _gradient_axis0_np(F, dlat)
+    term_phi = _gradient_axis0_np(coslat * dF_dphi, dlat) / coslat
+    d2F_dlmb2 = (jnp.roll(F, -1, axis=1) - 2.0 * F + jnp.roll(F, 1, axis=1)) / (dlon * dlon)
+    term_lmb = d2F_dlmb2 / (coslat * coslat)
+    return (term_phi + term_lmb) / (a * a)
+
+
+def hyperdiffuse(F: jax.Array, k4, dt: float, n_substeps: int,
+                 dlat: float, dlon: float, coslat: jax.Array, a: float) -> jax.Array:
+    """Explicit 4th-order hyperdiffusion dF/dt = −k4 ∇⁴F via two Laplacians.
+
+    ``k4`` may be a scalar or a 2-D map (latitude-adaptive σ4 scheme). The
+    substep loop is a static Python loop (n_substeps is a trace-time constant).
+    Reference: dynamics.py:175-213 / jax_compat.py:135-187.
+    """
+    n = max(1, int(n_substeps))
+    sub_dt = dt / n
+    out = F
+    for _ in range(n):
+        L = laplacian_sphere(out, dlat, dlon, coslat, a)
+        L2 = laplacian_sphere(L, dlat, dlon, coslat, a)
+        out = out - k4 * L2 * sub_dt
+    return out
+
+
+def _conv1d_lon_121(F: jax.Array) -> jax.Array:
+    """[0.25, 0.5, 0.25] along longitude with periodic wrap."""
+    return 0.25 * jnp.roll(F, 1, axis=1) + 0.5 * F + 0.25 * jnp.roll(F, -1, axis=1)
+
+
+def _conv1d_lat_121_nearest(F: jax.Array) -> jax.Array:
+    """[0.25, 0.5, 0.25] along latitude with nearest-edge padding."""
+    up = jnp.concatenate([F[0:1, :], F[:-1, :]], axis=0)
+    dn = jnp.concatenate([F[1:, :], F[-1:, :]], axis=0)
+    return 0.25 * up + 0.5 * F + 0.25 * dn
+
+
+def shapiro_filter(F: jax.Array, n: int = 2, lon_wrap: bool = True) -> jax.Array:
+    """Separable 1-2-1 smoothing applied n times (dynamics.py:215-231)."""
+    out = F
+    for _ in range(max(1, int(n))):
+        if lon_wrap:
+            out = _conv1d_lon_121(out)
+        else:  # nearest along lon (unused by default; kept for parity)
+            left = jnp.concatenate([out[:, 0:1], out[:, :-1]], axis=1)
+            right = jnp.concatenate([out[:, 1:], out[:, -1:]], axis=1)
+            out = 0.25 * left + 0.5 * out + 0.25 * right
+        out = _conv1d_lat_121_nearest(out)
+    return out
+
+
+def spectral_zonal_filter(F: jax.Array, n_lon: int, cutoff: float = 0.75,
+                          damp: float = 0.5) -> jax.Array:
+    """Zonal-FFT high-wavenumber damping (dynamics.py:233-258).
+
+    k > cutoff·k_Nyquist multiplied by (1 − damp). Static shapes: the factor
+    vector is built at trace time.
+    """
+    if damp <= 0.0 or cutoff <= 0.0:
+        return F
+    fft = jnp.fft.rfft(F, axis=1)
+    bins = fft.shape[1]
+    if bins <= 1:
+        return F
+    kN = bins - 1
+    kcut = int(max(1, min(kN, int(cutoff * kN))))
+    factor = jnp.ones((bins,), dtype=F.dtype)
+    factor = factor.at[kcut:].multiply(max(0.0, 1.0 - min(1.0, damp)))
+    out = jnp.fft.irfft(fft * factor[None, :], n=n_lon, axis=1)
+    return out.astype(F.dtype)

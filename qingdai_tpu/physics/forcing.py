@@ -1,0 +1,72 @@
+"""Dual-star insolation geometry and radiative-equilibrium forcing.
+
+Per-star declination/right-ascension/hour-angle → cos(zenith), night-side
+clamp; matches /root/reference/pygcm/forcing.py:32-165. Everything is a pure
+function of (t, grid) so the jitted step fuses it with the rest of the physics.
+"""
+
+from __future__ import annotations
+
+import math
+
+import jax.numpy as jnp
+import numpy as np
+
+from .. import constants as const
+from ..grid import Grid
+from . import orbital
+
+# --- Precomputed planet-fixed equatorial frame (forcing.py:32-40) ---
+_tilt = math.radians(const.PLANET_AXIAL_TILT)
+N_HAT = np.array([math.sin(_tilt), 0.0, math.cos(_tilt)])
+_x_in = np.array([1.0, 0.0, 0.0])
+_x_eq = _x_in - np.dot(_x_in, N_HAT) * N_HAT
+X_EQ = _x_eq / np.linalg.norm(_x_eq)
+Y_EQ = np.cross(N_HAT, X_EQ)
+
+
+def _single_star_insolation(grid: Grid, t, flux, sx, sy):
+    """Insolation field for one star given its planet→star vector (sx, sy, 0)."""
+    norm = jnp.sqrt(sx * sx + sy * sy) + 1e-15
+    shx, shy = sx / norm, sy / norm
+    # s_hat · n_hat etc. with s_hat z-component = 0
+    dot_n = shx * N_HAT[0] + shy * N_HAT[1]
+    delta = jnp.arcsin(jnp.clip(dot_n, -1.0, 1.0))
+    alpha = jnp.arctan2(shx * Y_EQ[0] + shy * Y_EQ[1],
+                        shx * X_EQ[0] + shy * X_EQ[1])
+    theta = jnp.mod(t * const.PLANET_OMEGA, 2.0 * math.pi)
+    lon_rad = jnp.deg2rad(grid.lon_mesh)
+    h = theta + lon_rad - alpha
+    cos_z = (jnp.sin(grid.lat_rad) * jnp.sin(delta)
+             + jnp.cos(grid.lat_rad) * jnp.cos(delta) * jnp.cos(h))
+    return flux * jnp.maximum(0.0, cos_z)
+
+
+def insolation_components(grid: Grid, t):
+    """(insA, insB): per-star surface insolation fields (W/m^2)."""
+    x_A, y_A, x_B, y_B = orbital.stellar_positions(t)
+    x_p, y_p = orbital.planet_position(t)
+    vAx, vAy = x_A - x_p, y_A - y_p
+    vBx, vBy = x_B - x_p, y_B - y_p
+    dA2 = vAx * vAx + vAy * vAy
+    dB2 = vBx * vBx + vBy * vBy
+    flux_A = const.L_A / (4.0 * math.pi * dA2)
+    flux_B = const.L_B / (4.0 * math.pi * dB2)
+    insA = _single_star_insolation(grid, t, flux_A, vAx, vAy)
+    insB = _single_star_insolation(grid, t, flux_B, vBx, vBy)
+    return insA, insB
+
+
+def insolation_total(grid: Grid, t):
+    insA, insB = insolation_components(grid, t)
+    return insA + insB
+
+
+def equilibrium_temp(isr, albedo):
+    """Radiative equilibrium T_eq = (I(1−α)/σ)^¼ with night-side zeros.
+
+    Unlike forcing.py:138-165 this takes the (already computed) insolation so
+    it is not recomputed inside the step.
+    """
+    numerator = jnp.maximum(isr * (1.0 - albedo), 0.0)
+    return (numerator / const.SIGMA) ** 0.25

@@ -1,0 +1,152 @@
+"""Parity tests: jnp operators vs independent NumPy/SciPy formulations.
+
+These reproduce the *mathematical definitions* used by the reference
+(np.gradient-based spherical Laplacian, 1-2-1 Shapiro, scipy Gaussian filter,
+bilinear wrap interpolation) as plain NumPy oracles and check the TPU ops
+against them.
+"""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+from scipy.ndimage import convolve, gaussian_filter as sp_gauss, map_coordinates
+
+from qingdai_tpu import constants as const
+from qingdai_tpu.grid import make_grid, divergence, vorticity
+from qingdai_tpu.ops.stencil import (laplacian_sphere, hyperdiffuse,
+                                     shapiro_filter, spectral_zonal_filter)
+from qingdai_tpu.ops.advect import advect_semilag
+from qingdai_tpu.ops.smooth import gaussian_filter
+from qingdai_tpu.ops.reductions import area_mean, masked_median_of_positive
+
+A = const.PLANET_RADIUS
+
+
+def np_laplacian(F, dlat, dlon, cos):
+    dF = np.gradient(F, dlat, axis=0)
+    t_phi = (1.0 / cos) * np.gradient(cos * dF, dlat, axis=0)
+    d2 = (np.roll(F, -1, 1) - 2 * F + np.roll(F, 1, 1)) / dlon**2
+    return (t_phi + d2 / cos**2) / A**2
+
+
+@pytest.fixture
+def fields(rng, small_grid):
+    g = small_grid
+    F = rng.standard_normal(g.shape).astype(np.float64)
+    cos = np.maximum(np.cos(np.deg2rad(np.asarray(g.lat_mesh))), 0.2)
+    return g, F, cos
+
+
+def test_laplacian_matches_numpy(fields):
+    g, F, cos = fields
+    ours = np.asarray(laplacian_sphere(jnp.asarray(F), g.dlat_rad, g.dlon_rad,
+                                       jnp.asarray(cos), A))
+    ref = np_laplacian(F, g.dlat_rad, g.dlon_rad, cos)
+    np.testing.assert_allclose(ours, ref, rtol=1e-5, atol=1e-18)
+
+
+def test_hyperdiffuse_matches_numpy(fields):
+    g, F, cos = fields
+    k4 = 1.0e14
+    dt = 300.0
+    ref = F.copy()
+    for _ in range(2):
+        L = np_laplacian(ref, g.dlat_rad, g.dlon_rad, cos)
+        L2 = np_laplacian(L, g.dlat_rad, g.dlon_rad, cos)
+        ref = ref - k4 * L2 * (dt / 2)
+    ours = np.asarray(hyperdiffuse(jnp.asarray(F), k4, dt, 2,
+                                   g.dlat_rad, g.dlon_rad, jnp.asarray(cos), A))
+    np.testing.assert_allclose(ours, ref, rtol=1e-4, atol=1e-10)
+
+
+def test_shapiro_matches_scipy(fields):
+    g, F, _ = fields
+    k1 = np.array([1.0, 2.0, 1.0]) / 4.0
+    ref = F.copy()
+    for _ in range(2):
+        ref = convolve(ref, k1[None, :], mode="wrap")
+        ref = convolve(ref, k1[:, None], mode="nearest")
+    ours = np.asarray(shapiro_filter(jnp.asarray(F), n=2))
+    np.testing.assert_allclose(ours, ref, rtol=1e-5, atol=1e-7)
+
+
+def test_gaussian_filter_matches_scipy(fields):
+    g, F, _ = fields
+    ref = sp_gauss(F, sigma=1.0)  # default reflect
+    ours = np.asarray(gaussian_filter(jnp.asarray(F), 1.0))
+    np.testing.assert_allclose(ours, ref, rtol=1e-4, atol=1e-6)
+    ref_w = sp_gauss(F, sigma=0.7, mode=("nearest", "wrap"))
+    ours_w = np.asarray(gaussian_filter(jnp.asarray(F), 0.7,
+                                        mode_lat="nearest", mode_lon="wrap"))
+    np.testing.assert_allclose(ours_w, ref_w, rtol=1e-4, atol=1e-6)
+
+
+def test_spectral_zonal_filter_matches_numpy(fields):
+    g, F, _ = fields
+    fft = np.fft.rfft(F, axis=1)
+    bins = fft.shape[1]
+    kN = bins - 1
+    kcut = int(max(1, min(kN, int(0.75 * kN))))
+    fac = np.ones(bins)
+    fac[kcut:] *= 0.5
+    ref = np.fft.irfft(fft * fac[None, :], n=F.shape[1], axis=1)
+    ours = np.asarray(spectral_zonal_filter(jnp.asarray(F), F.shape[1], 0.75, 0.5))
+    np.testing.assert_allclose(ours, ref, rtol=1e-4, atol=1e-6)
+
+
+def test_advect_matches_map_coordinates(fields, rng):
+    g, F, _ = fields
+    cos = np.maximum(np.cos(np.deg2rad(np.asarray(g.lat_mesh))), 1e-6)
+    u = 10.0 * rng.standard_normal(g.shape)
+    v = 10.0 * rng.standard_normal(g.shape)
+    dt = 300.0
+    dx = (u * dt / (A * cos)) / g.dlon_rad
+    dy = (v * dt / A) / g.dlat_rad
+    JJ, II = np.meshgrid(np.arange(g.shape[0]), np.arange(g.shape[1]), indexing="ij")
+    # 'grid-wrap' is scipy's true periodic mode, matching jax map_coordinates 'wrap'
+    ref = map_coordinates(F, [JJ - dy, II - dx], order=1, mode="grid-wrap", prefilter=False)
+    ours = np.asarray(advect_semilag(jnp.asarray(F), jnp.asarray(u), jnp.asarray(v),
+                                     dt, A, g.dlat_rad, g.dlon_rad, jnp.asarray(cos)))
+    np.testing.assert_allclose(ours, ref, rtol=1e-5, atol=1e-7)
+
+
+def test_divergence_vorticity_match_numpy(fields, rng):
+    g, F, _ = fields
+    u = rng.standard_normal(g.shape)
+    v = rng.standard_normal(g.shape)
+    lat_rad = np.deg2rad(np.asarray(g.lat_mesh))
+    cos = np.cos(lat_rad)
+    cosc = np.maximum(cos, 1e-6)
+    du = (np.roll(u, -1, 1) - np.roll(u, 1, 1)) / (2 * g.dlon_rad)
+    vc = v * cos
+    dv = (np.roll(vc, -1, 0) - np.roll(vc, 1, 0)) / (2 * g.dlat_rad)
+    dv[0] = 0; dv[-1] = 0
+    ref_div = (du + dv) / (A * cosc)
+    ours_div = np.asarray(divergence(g, jnp.asarray(u), jnp.asarray(v)))
+    np.testing.assert_allclose(ours_div, ref_div, rtol=1e-4, atol=1e-9)
+
+    dv2 = (np.roll(v, -1, 1) - np.roll(v, 1, 1)) / (2 * g.dlon_rad)
+    uc = u * cos
+    du2 = (np.roll(uc, -1, 0) - np.roll(uc, 1, 0)) / (2 * g.dlat_rad)
+    du2[0] = 0; du2[-1] = 0
+    ref_vort = (dv2 - du2) / (A * cosc)
+    ours_vort = np.asarray(vorticity(g, jnp.asarray(u), jnp.asarray(v)))
+    np.testing.assert_allclose(ours_vort, ref_vort, rtol=1e-4, atol=1e-9)
+
+
+def test_masked_median(rng):
+    x = rng.standard_normal((40, 40))
+    ref = np.median(x[x > 0])
+    ours = float(masked_median_of_positive(jnp.asarray(x)))
+    np.testing.assert_allclose(ours, ref, rtol=1e-6)
+    # no positives → fallback
+    assert float(masked_median_of_positive(jnp.asarray(-np.abs(x)), fallback=3.0)) == 3.0
+
+
+def test_area_mean(rng, small_grid):
+    g = small_grid
+    x = rng.standard_normal(g.shape)
+    w = np.maximum(np.cos(np.deg2rad(np.asarray(g.lat_mesh))), 0.0)
+    ref = np.sum(x * w) / (np.sum(w) + 1e-15)
+    ours = float(area_mean(jnp.asarray(x), g.area_w))
+    np.testing.assert_allclose(ours, ref, rtol=1e-5)
