@@ -20,6 +20,7 @@ from .grid import Grid, grad_lonlat
 from .ops.advect import advect_semilag
 from .ops.stencil import hyperdiffuse, shapiro_filter, spectral_zonal_filter
 from .ops.reductions import masked_median_of_positive
+from .ops.control import cond_keep_dtypes
 from .physics import energy as en
 from .physics import humidity as hum
 from .state import AtmosState, EnergyState, StaticFields
@@ -183,7 +184,7 @@ def atmos_step(grid: Grid, cfg: SimConfig, static: StaticFields,
                 c_ = hyperdiffuse(c_, k4_c, dt, 1, dlat, dlon, cos02, a)
             return u_, v_, h_, q_, c_
 
-        u, v, h, q, cloud = jax.lax.cond(
+        u, v, h, q, cloud = cond_keep_dtypes(
             _every(step_idx, max(1, dcfg.diff_every)),
             _apply_hyper, lambda ops: ops, (u, v, h, q, cloud))
 
@@ -199,7 +200,7 @@ def atmos_step(grid: Grid, cfg: SimConfig, static: StaticFields,
             if dcfg.diff_cloud:
                 c_ = shapiro_filter(c_, n=max(1, dcfg.shapiro_n - 1))
             return u_, v_, h_, q_, c_
-        u, v, h, q, cloud = jax.lax.cond(
+        u, v, h, q, cloud = cond_keep_dtypes(
             _every(step_idx, dcfg.shapiro_every),
             _apply_shapiro, lambda ops: ops, (u, v, h, q, cloud))
 
@@ -210,7 +211,7 @@ def atmos_step(grid: Grid, cfg: SimConfig, static: StaticFields,
             v_ = spectral_zonal_filter(v_, grid.n_lon, dcfg.spec_cutoff, dcfg.spec_damp)
             h_ = spectral_zonal_filter(h_, grid.n_lon, dcfg.spec_cutoff, dcfg.spec_damp)
             return u_, v_, h_
-        u, v, h = jax.lax.cond(
+        u, v, h = cond_keep_dtypes(
             _every(step_idx, dcfg.spec_every),
             _apply_spec, lambda ops: ops, (u, v, h))
 

@@ -1,0 +1,528 @@
+"""The coupled planet step: one jitted function over the WorldState pytree.
+
+Composes the subsystems in exactly the reference driver's per-step order
+(/root/reference/scripts/run_simulation.py:1760-2490, SURVEY.md §3.2):
+
+  orography → hybrid precip → daily-boundary block (ecology daily, individual
+  pool daily, banded albedo cache, mutation) → cloud blending/advection →
+  dual-star insolation → P019 lapse/snowpack/glacier → individual-pool substep
+  → phyto daily → albedo synthesis (ecology/bands/phyto/snow) → Teq →
+  atmosphere step → ocean step + SST feedback + phyto advection → hydrology
+  (bucket + D8 routing) → diagnostics.
+
+Sub-daily/daily/6-hourly cadences are lax.cond branches on traced clocks, so a
+whole chunk of steps runs as one lax.scan with zero host sync.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from . import constants as const
+from .config import SimConfig
+from .dynamics import atmos_step
+from .grid import Grid, make_grid
+from .ocean import ocean_step, static_substeps, ocean_diagnostics
+from .ops.advect import advect_semilag
+from .ops.reductions import area_mean, masked_median_of_positive
+from .ops.smooth import gaussian_filter
+from .ops.control import cond_keep_dtypes
+from .physics import clouds as ph
+from .physics import energy as en
+from .physics import forcing
+from .physics import hydrology as hyd
+from .physics import humidity as hum
+from .routing import RoutingStatic, RoutingState, init_routing_state, routing_step
+from .state import (AlbedoCaches, AtmosState, ClockState, EnergyState,
+                    LandState, OceanState, StaticFields, WorldState,
+                    init_albedo_caches, init_atmos, init_clock,
+                    init_energy_state, init_land, init_ocean)
+from .ecology import population as eco_mod
+from .ecology import individuals as indiv_mod
+from .ecology import phyto as phyto_mod
+
+
+@dataclasses.dataclass(frozen=True)
+class Model:
+    """Bundle of grid + static data + configured step function inputs."""
+    grid: Grid
+    cfg: SimConfig
+    static: StaticFields
+    eco_static: Optional[eco_mod.EcoStatic]
+    indiv_static: Optional[indiv_mod.IndivStatic]
+    phyto_static: Optional[phyto_mod.PhytoStatic]
+    routing_static: Optional[RoutingStatic]
+    n_ocean_substeps: int
+    dt: float
+    day_seconds: float = const.DAY_SECONDS
+
+
+def build_model(cfg: SimConfig, land_mask, base_albedo, friction,
+                elevation=None, network: Optional[dict] = None,
+                dtype=jnp.float32) -> Model:
+    """Assemble static data from topography/network arrays (host side)."""
+    grid = make_grid(cfg.run.n_lat, cfg.run.n_lon, dtype=dtype)
+    land_mask = jnp.asarray(np.asarray(land_mask), jnp.int32)
+    Cs_ocean = cfg.ocean.rho_w * cfg.ocean.cp_w * cfg.run.mld_m
+    C_s_map = jnp.where(land_mask == 1, cfg.run.cs_land, Cs_ocean).astype(dtype)
+    has_elev = elevation is not None
+    static = StaticFields(
+        land_mask=land_mask,
+        elevation=jnp.asarray(np.asarray(elevation) if has_elev
+                              else np.zeros(grid.shape), dtype),
+        base_albedo=jnp.asarray(np.asarray(base_albedo), dtype),
+        friction=jnp.asarray(np.asarray(friction), dtype),
+        C_s_map=C_s_map,
+        has_elevation=has_elev,
+    )
+
+    eco_static = indiv_static = phyto_static = routing_static = None
+    if cfg.ecology.enabled:
+        eco_static, eco_state0, _, _ = eco_mod.build_eco(grid.shape, land_mask,
+                                                         cfg.ecology, dtype)
+        if cfg.ecology.indiv_enable:
+            indiv_static, _ = indiv_mod.build_individuals(
+                grid.shape, land_mask, eco_static, eco_state0, cfg.ecology, dtype)
+    if cfg.phyto.enabled:
+        phyto_static, _, _ = phyto_mod.build_phyto(
+            grid.shape, land_mask, cfg.phyto, cfg.ecology, cfg.ocean.H_m, dtype)
+    if cfg.hydrology.routing_enable and network is not None:
+        from .routing import build_routing_static
+        routing_static = build_routing_static(network, grid, dtype)
+
+    n_sub = static_substeps(grid, cfg.ocean, cfg.run.dt_seconds)
+    model = Model(grid=grid, cfg=cfg, static=static,
+                  eco_static=eco_static, indiv_static=indiv_static,
+                  phyto_static=phyto_static, routing_static=routing_static,
+                  n_ocean_substeps=n_sub, dt=float(cfg.run.dt_seconds))
+    return model
+
+
+def init_world(model: Model, t0_seconds: float = 0.0, seed: int = 42,
+               dtype=jnp.float32) -> WorldState:
+    """Fresh initial state (driver init, run_simulation.py:1193-1590)."""
+    cfg = model.cfg
+    grid = model.grid
+    atmos = init_atmos(grid, cfg, dtype)
+    ocean = init_ocean(grid, model.static.land_mask, Ts_init=atmos.T_s, dtype=dtype)
+    land = init_land(grid, dtype)
+    clock = init_clock(grid, t0_seconds, dtype)
+    albedo = init_albedo_caches(grid, dtype)
+    energy_state = init_energy_state(cfg, dtype)
+
+    eco_state = indiv_state = phyto_state = routing_state = None
+    eco_static = model.eco_static
+    if eco_static is not None:
+        _, eco_state, _, _ = eco_mod.build_eco(grid.shape, model.static.land_mask,
+                                               cfg.ecology, dtype)
+        if model.indiv_static is not None:
+            _, indiv_state = indiv_mod.build_individuals(
+                grid.shape, model.static.land_mask, eco_static, eco_state,
+                cfg.ecology, dtype)
+    if model.phyto_static is not None:
+        _, phyto_state, _ = phyto_mod.build_phyto(
+            grid.shape, model.static.land_mask, cfg.phyto, cfg.ecology,
+            cfg.ocean.H_m, dtype)
+    if model.routing_static is not None:
+        routing_state = init_routing_state(model.routing_static, dtype)
+
+    if cfg.run.init_banded:
+        phi = grid.lat_rad
+        Ts0 = (cfg.run.init_t_pole
+               + (cfg.run.init_t_eq - cfg.run.init_t_pole) * jnp.cos(phi) ** 2)
+        atmos = dataclasses.replace(atmos, T_s=Ts0.astype(dtype))
+        sst = jnp.where(model.static.land_mask == 0, Ts0, ocean.sst)
+        ocean = dataclasses.replace(ocean, sst=sst.astype(dtype))
+
+    return WorldState(atmos=atmos, ocean=ocean, land=land, energy=energy_state,
+                      clock=clock, albedo=albedo, eco=eco_state,
+                      indiv=indiv_state, phyto=phyto_state, routing=routing_state,
+                      rng=jax.random.PRNGKey(seed))
+
+
+# ---------------------------------------------------------------------------
+# The step
+# ---------------------------------------------------------------------------
+
+def make_step_fn(model: Model):
+    """Returns step(state) -> (state, diag) — pure, jittable, scannable."""
+    grid = model.grid
+    cfg = model.cfg
+    static = model.static
+    dt = model.dt
+    day_s = model.day_seconds
+    pcfg = cfg.physics
+    hcfg = cfg.hydrology
+    land_mask = static.land_mask
+    land = land_mask == 1
+    ocean_mask = ~land
+    landf = land.astype(static.base_albedo.dtype)
+
+    eco_on = model.eco_static is not None and cfg.ecology.enabled
+    indiv_on = eco_on and model.indiv_static is not None and cfg.ecology.indiv_enable
+    phyto_on = model.phyto_static is not None and cfg.phyto.enabled
+    routing_on = model.routing_static is not None and hcfg.routing_enable
+    ocean_on = cfg.ocean.enabled
+
+    def step(state: WorldState):
+        atmos: AtmosState = state.atmos
+        clock: ClockState = state.clock
+        alb: AlbedoCaches = state.albedo
+        lstate: LandState = state.land
+        key = state.rng
+        t = clock.t_seconds
+        step_idx = clock.step_idx
+
+        # ---- 1) orographic factor + hybrid precip (driver :1769-1781) ----
+        orog_factor = None
+        if pcfg.orog_enable and static.has_elevation:
+            orog_factor = ph.compute_orographic_factor(
+                grid, static.elevation, atmos.u, atmos.v, k_orog=pcfg.k_orog)
+        precip = ph.diagnose_precipitation_hybrid(
+            grid, atmos.u, atmos.v, atmos.cloud_cover, atmos.P_cond_flux_last,
+            pcfg, orog_factor=orog_factor, smooth_sigma=1.0)
+
+        # ---- daily accumulation + daily-boundary block (:1784-1864) ----
+        precip_acc = clock.precip_acc_day + jnp.nan_to_num(precip) * dt
+        accum_t = clock.accum_t_day + dt
+        is_daily = accum_t >= day_s
+
+        soil_idx = jnp.clip(lstate.W_land / max(1e-6, cfg.ecology.soil_water_cap),
+                            0.0, 1.0)
+        soil_idx = soil_idx * (~lstate.glacier_mask)
+
+        eco_state = state.eco
+        indiv_state = state.indiv
+        alpha_banded_daily = alb.alpha_banded_daily
+        has_banded = alb.has_alpha_banded
+
+        if eco_on:
+            def daily_block(args):
+                eco_s, ind_s, k, ab_daily, has_b = args
+                eco_s, k = eco_mod.eco_step_daily(model.eco_static, eco_s,
+                                                  cfg.ecology, soil_idx, k)
+                # glacier cells: zero LAI (driver :1811-1817)
+                gl = lstate.glacier_mask
+                eco_s = dataclasses.replace(
+                    eco_s, LAI_SK=jnp.where(gl[None, None], 0.0, eco_s.LAI_SK))
+                if indiv_on:
+                    ind_s, eco_s = indiv_mod.indiv_step_daily(
+                        model.indiv_static, ind_s, model.eco_static, eco_s,
+                        cfg.ecology, soil_idx)
+                if cfg.ecology.bands_couple:
+                    A = eco_mod.surface_albedo_bands(model.eco_static, eco_s,
+                                                     cfg.ecology)
+                    w_b = model.eco_static.w_b
+                    ab_daily = jnp.clip(jnp.nansum(A * w_b[:, None, None], axis=0),
+                                        0.0, 1.0)
+                    has_b = jnp.asarray(True)
+                return eco_s, ind_s, k, ab_daily, has_b
+
+            eco_state, indiv_state, key, alpha_banded_daily, has_banded = cond_keep_dtypes(
+                is_daily, daily_block, lambda a: a,
+                (eco_state, indiv_state, key, alpha_banded_daily, has_banded))
+
+        precip_day_last = jnp.where(is_daily, precip_acc, clock.precip_day_last)
+        precip_acc = jnp.where(is_daily, 0.0, precip_acc)
+        accum_t = jnp.where(is_daily, accum_t - day_s, accum_t)
+
+        # ---- 1b-1d) cloud blending (:1866-1913) ----
+        if pcfg.p_ref is not None:
+            P_ref = jnp.asarray(pcfg.p_ref, precip.dtype)
+        else:
+            P_ref = masked_median_of_positive(precip, fallback=1e-6)
+        C_from_P = ph.cloud_from_precip(precip, C_max=pcfg.c_max, P_ref=P_ref,
+                                        smooth_sigma=1.0)
+        cloud_source = ph.parameterize_cloud_cover(grid, atmos.T_s, atmos.u, atmos.v)
+        tendency = cloud_source * (dt / (6 * 3600.0))
+        w_sum = pcfg.w_mem + pcfg.w_p + pcfg.w_src
+        if w_sum <= 0:
+            w_mem, w_p, w_src = 0.5, 0.4, 0.1
+        else:
+            w_mem, w_p, w_src = (pcfg.w_mem / w_sum, pcfg.w_p / w_sum,
+                                 pcfg.w_src / w_sum)
+        cloud = (w_mem * atmos.cloud_cover + w_p * C_from_P
+                 + w_src * jnp.clip(atmos.cloud_cover + tendency, 0.0, 1.0))
+        if pcfg.cloud_floor > 0.0:
+            cloud = jnp.maximum(cloud, jnp.clip(pcfg.cloud_floor * C_from_P, 0.0, 1.0))
+        cloud = jnp.clip(cloud, 0.0, 1.0)
+
+        # optional cloud advection (:1916-1939)
+        if pcfg.cloud_advect:
+            cloud_adv = advect_semilag(cloud, atmos.u, atmos.v, dt,
+                                       const.PLANET_RADIUS, grid.dlat_rad,
+                                       grid.dlon_rad, grid.coslat_cap_tiny)
+            if pcfg.cloud_smooth_sigma > 0.0:
+                cloud_adv = gaussian_filter(cloud_adv, pcfg.cloud_smooth_sigma,
+                                            mode_lat="wrap", mode_lon="wrap")
+            cloud = jnp.clip((1.0 - pcfg.cloud_adv_alpha) * cloud
+                             + pcfg.cloud_adv_alpha * cloud_adv, 0.0, 1.0)
+        atmos = dataclasses.replace(atmos, cloud_cover=cloud)
+
+        # ---- 2) insolation (:1942-1944) — from carried phases ----
+        insA, insB = forcing.insolation_components_from_phases(
+            grid, clock.phase_rot, clock.phase_binary, clock.phase_planet)
+        isr = insA + insB
+
+        # ---- P019 lapse/snowpack/glacier (:1947-2019) ----
+        T_a_proxy = 288.0 + (9.81 / 1004.0) * atmos.h
+        h_snow_geom = jnp.where(land, jnp.maximum(lstate.S_snow, 0.0)
+                                / max(hcfg.rho_snow, 1e-6), 0.0)
+        polar = jnp.abs(grid.lat_mesh) >= hcfg.polar_lat_thresh
+        h_ice_eff = jnp.where(polar, jnp.minimum(h_snow_geom,
+                                                 hcfg.polar_ice_thick_max_m),
+                              h_snow_geom)
+        H_eff = jnp.minimum(static.elevation + h_ice_eff, hcfg.land_elev_max_m)
+        if hcfg.lapse_enable:
+            T_hat_a = T_a_proxy - hcfg.gamma_kpm * (H_eff / 1000.0)
+            T_hat_s = atmos.T_s - hcfg.gamma_s_kpm * (H_eff / 1000.0)
+        else:
+            T_hat_a, T_hat_s = T_a_proxy, atmos.T_s
+        P_rain, P_snow, f_snow = hyd.partition_precip_phase_smooth(
+            precip, T_hat_a, T_thresh=hcfg.snow_thresh_K,
+            dT_half_K=hcfg.snow_t_band_K)
+
+        if hcfg.swe_enable:
+            P_snow_land = P_snow * landf
+            S_snow_next, melt_flux_land, C_snow_map, alpha_snow_map = hyd.snowpack_step(
+                lstate.S_snow, P_snow_land, T_hat_a, hcfg, dt)
+            glacier = land & ((C_snow_map >= hcfg.glacier_frac)
+                              | (S_snow_next >= hcfg.glacier_swe_mm))
+            # rain on glacier deposits into SWE (:1996-2002)
+            P_rain_gl = P_rain * landf * glacier
+            S_snow_next = S_snow_next + P_rain_gl * dt
+        else:
+            C_snow_map = jnp.zeros_like(atmos.T_s)
+            alpha_snow_map = jnp.full_like(atmos.T_s, hcfg.snow_albedo_fresh)
+            S_snow_next = lstate.S_snow
+            melt_flux_land = jnp.zeros_like(atmos.T_s)
+            glacier = land & (C_snow_map >= hcfg.glacier_frac)
+
+        # ---- 2a) individual pool substep (:2022-2049) ----
+        if indiv_on:
+            indiv_state = indiv_mod.indiv_try_substep(
+                model.indiv_static, indiv_state, model.eco_static, cfg.ecology,
+                insA, insB, soil_idx, dt, day_s)
+
+        # ---- phyto daily (:2052-2061) ----
+        phyto_state = state.phyto
+        alpha_water = alb.alpha_water_scalar
+        has_water = alb.has_alpha_water
+        phyto_accum = clock.phyto_accum + dt
+        if phyto_on:
+            T_w = state.ocean.sst if ocean_on else atmos.T_s
+
+            def phyto_daily(args):
+                pst, aw, hw, pacc = args
+                pst = phyto_mod.phyto_step_daily(model.phyto_static, pst,
+                                                 cfg.phyto, insA, insB, T_w)
+                return pst, pst.alpha_scalar, jnp.asarray(True), pacc - day_s
+
+            phyto_state, alpha_water, has_water, phyto_accum = cond_keep_dtypes(
+                phyto_accum >= day_s, phyto_daily, lambda a: a,
+                (phyto_state, alpha_water, has_water, phyto_accum))
+
+        # ---- albedo synthesis (:2063-2146) ----
+        H_ice_ref = pcfg.h_ice_ref
+        ice_frac = 1.0 - jnp.exp(-jnp.maximum(atmos.h_ice, 0.0)
+                                 / max(1e-6, H_ice_ref))
+        cloud_for_rad = atmos.cloud_eff_last
+
+        if pcfg.use_topo_albedo:
+            base_input = static.base_albedo
+        else:
+            base_input = jnp.full_like(atmos.T_s, pcfg.alpha_water)
+
+        alpha_eco_last = alb.alpha_ecology_last
+        if eco_on and cfg.ecology.subdaily_enable and cfg.ecology.albedo_couple:
+            eco_state, alpha_map = eco_mod.eco_step_subdaily(
+                model.eco_static, eco_state, cfg.ecology, isr, dt)
+            alpha_apply = alpha_map  # substep_every_nphys=1 default → fresh map
+            W_LAI = cfg.ecology.lai_albedo_weight
+            m = land & (~glacier) & jnp.isfinite(alpha_apply)
+            base_input = jnp.where(
+                m, (1.0 - W_LAI) * base_input + W_LAI *
+                jnp.nan_to_num(alpha_apply), base_input)
+            alpha_eco_last = alpha_map
+
+        if eco_on and cfg.ecology.bands_couple:
+            m2 = land & jnp.isfinite(alpha_banded_daily) & has_banded
+            base_input = jnp.where(m2, jnp.clip(
+                jnp.nan_to_num(alpha_banded_daily), 0.0, 1.0), base_input)
+
+        if phyto_on and cfg.phyto.albedo_couple:
+            m_o = ocean_mask & jnp.isfinite(alpha_water) & has_water
+            base_input = jnp.where(m_o, jnp.clip(alpha_water, 0.0, 1.0), base_input)
+
+        if hcfg.swe_enable:
+            blend = jnp.clip((1.0 - C_snow_map) * base_input
+                             + C_snow_map * alpha_snow_map, 0.0, 1.0)
+            base_input = jnp.where(land, blend, base_input)
+
+        albedo = ph.calculate_dynamic_albedo(
+            cloud_for_rad, atmos.T_s, base_input, pcfg.alpha_ice,
+            pcfg.alpha_cloud, land_mask=land_mask, ice_frac=ice_frac)
+
+        # ---- 2d) Teq + 3) dynamics (:2191-2194) ----
+        Teq = forcing.equilibrium_temp(isr, albedo)
+        atmos, aux = atmos_step(grid, cfg, static, atmos, state.energy,
+                                Teq, albedo, isr, step_idx, dt)
+
+        # energy budget diagnostics (uses the step's own fluxes)
+        ediag = en.energy_diagnostics(grid.area_w, isr, aux["R"], aux["OLR"],
+                                      aux["SW_sfc"], aux["LW_sfc"], aux["SH"],
+                                      aux["LH"])
+
+        # ---- 3a) ocean (:2197-2270) ----
+        ocn = state.ocean
+        estate = state.energy
+        if ocean_on:
+            ice_mask = atmos.h_ice > 0.0
+            cloud_eff = atmos.cloud_eff_last
+            SW_atm, SW_sfc, R_ = en.shortwave_radiation(isr, albedo, cloud_eff,
+                                                        cfg.energy)
+            T_a2 = 288.0 + (9.81 / 1004.0) * atmos.h
+            ice_frac2 = 1.0 - jnp.exp(-jnp.maximum(atmos.h_ice, 0.0)
+                                      / max(1e-6, H_ice_ref))
+            if cfg.energy.lw_v2:
+                eps_sfc = en.surface_emissivity_map(land_mask, ice_frac2, cfg.energy)
+                _lwa, LW_sfc, OLR_, _dlr, _ = en.longwave_radiation_v2(
+                    atmos.T_s, T_a2, cloud_eff, eps_sfc, cfg.energy,
+                    eps0=estate.lw_eps0)
+            else:
+                _lwa, LW_sfc, OLR_, _dlr, _ = en.longwave_radiation(
+                    atmos.T_s, T_a2, cloud_eff, cfg.energy,
+                    eps0=estate.lw_eps0, kc=estate.lw_kc)
+            SH, _ = en.boundary_layer_fluxes(atmos.T_s, T_a2, atmos.u, atmos.v,
+                                             land_mask, cfg.energy,
+                                             rho=cfg.humidity.rho_a)
+            Q_net = SW_sfc - LW_sfc - SH - atmos.LH_last
+
+            # greenhouse autotune (:2242-2246)
+            if cfg.energy.autotune:
+                diag_toa = area_mean(isr - R_ - OLR_, grid.area_w)
+
+                def tune(es):
+                    e0, kc = en.autotune_greenhouse(es.lw_eps0, es.lw_kc,
+                                                    diag_toa, cfg.energy)
+                    return EnergyState(lw_eps0=e0, lw_kc=kc)
+
+                estate = cond_keep_dtypes(
+                    (step_idx % max(1, cfg.energy.tune_every)) == 0,
+                    tune, lambda es: es, estate)
+
+            ocn = ocean_step(grid, cfg.ocean, land_mask, ocn, atmos.u, atmos.v,
+                             Q_net, ice_mask, step_idx, dt,
+                             model.n_ocean_substeps)
+            ocean_open = ocean_mask & (~ice_mask)
+            atmos = dataclasses.replace(
+                atmos, T_s=jnp.where(ocean_open, ocn.sst, atmos.T_s))
+
+            if phyto_on and cfg.phyto.advection:
+                phyto_state = phyto_mod.phyto_advect_diffuse(
+                    model.phyto_static, phyto_state, cfg.phyto, grid,
+                    ocn.uo, ocn.vo, dt)
+        else:
+            Q_net = jnp.zeros_like(atmos.T_s)
+
+        # ---- 3c) hydrology (:2289-2401) ----
+        E_flux = atmos.E_flux_last
+        P_rain_land = P_rain * landf
+        E_land = E_flux * landf
+        S_snow = S_snow_next
+        non_glacier = land & (~glacier)
+        P_in = (P_rain_land + melt_flux_land) * non_glacier
+        E_in = E_land * non_glacier
+        W_land, R_bucket = hyd.update_land_bucket(lstate.W_land, P_in, E_in,
+                                                  hcfg, dt)
+        R_glacier = melt_flux_land * glacier
+        R_total = R_bucket + R_glacier
+
+        routing_state = state.routing
+        if routing_on:
+            routing_state = routing_step(model.routing_static, routing_state,
+                                         hcfg, R_total, dt, precip, E_flux)
+
+        lstate = LandState(W_land=W_land, S_snow=S_snow, C_snow=C_snow_map,
+                           glacier_mask=glacier)
+
+        # water-closure means (host forms the d/dt residual from samples)
+        wdiag = hyd.water_closure_means(
+            grid.area_w, atmos.q, cfg.humidity.rho_a, cfg.humidity.h_mbl,
+            atmos.h_ice, cfg.dynamics.rho_ice, W_land, S_snow,
+            E_flux, precip, R_total)
+
+        # ---- clock (phases advance mod 2π to preserve f32 precision) ----
+        two_pi = 2.0 * math.pi
+        from .physics import orbital as orb
+        clock = ClockState(
+            t_seconds=t + dt,
+            step_idx=step_idx + 1,
+            phase_rot=jnp.mod(clock.phase_rot + const.PLANET_OMEGA * dt, two_pi),
+            phase_binary=jnp.mod(clock.phase_binary + orb.OMEGA_BINARY * dt, two_pi),
+            phase_planet=jnp.mod(clock.phase_planet + orb.OMEGA_PLANET * dt, two_pi),
+            precip_acc_day=precip_acc,
+            accum_t_day=accum_t,
+            precip_day_last=precip_day_last,
+            phyto_accum=phyto_accum,
+        )
+        alb = AlbedoCaches(
+            alpha_ecology_last=alpha_eco_last,
+            alpha_banded_daily=alpha_banded_daily,
+            has_alpha_banded=has_banded,
+            alpha_water_scalar=alpha_water,
+            has_alpha_water=has_water,
+        )
+
+        new_state = WorldState(atmos=atmos, ocean=ocn, land=lstate,
+                               energy=estate, clock=clock, albedo=alb,
+                               eco=eco_state, indiv=indiv_state,
+                               phyto=phyto_state, routing=routing_state,
+                               rng=key)
+
+        diag = {
+            "TOA_net": ediag["TOA_net"], "SFC_net": ediag["SFC_net"],
+            "ATM_net": ediag["ATM_net"], "OLR_mean": ediag["OLR_mean"],
+            "Ts_mean": area_mean(atmos.T_s, grid.area_w),
+            "E_mean": wdiag["E_mean"], "P_mean": wdiag["P_mean"],
+            "R_mean": wdiag["R_mean"],
+            "total_reservoir_mean": wdiag["total_reservoir_mean"],
+            "CWV_mean": wdiag["CWV_mean"], "ICE_mean": wdiag["ICE_mean"],
+            "W_land_mean": wdiag["W_land_mean"], "S_snow_mean": wdiag["S_snow_mean"],
+            "LH_mean": area_mean(atmos.LH_last, grid.area_w),
+            "LH_release_mean": area_mean(atmos.LH_release_last, grid.area_w),
+            "u_max": jnp.max(jnp.abs(atmos.u)),
+            "v_max": jnp.max(jnp.abs(atmos.v)),
+            "Qnet_mean": area_mean(Q_net, grid.area_w, mask=ocean_mask),
+        }
+        if ocean_on:
+            od = ocean_diagnostics(grid, cfg.ocean, ocn)
+            diag.update({"ocean_KE_mean": od["KE_mean"],
+                         "ocean_U_max": od["U_max"]})
+        if routing_on:
+            diag.update({
+                "routing_ocean_inflow_kgps": routing_state.ocean_inflow_kgps,
+                "routing_mass_error_kg": routing_state.mass_error_kg,
+            })
+        return new_state, diag
+
+    return step
+
+
+def make_chunk_fn(model: Model, chunk_steps: Optional[int] = None):
+    """scan the step over a chunk; returns (state, stacked diag)."""
+    step = make_step_fn(model)
+    n = chunk_steps or model.cfg.run.chunk_steps
+
+    def chunk(state: WorldState):
+        def body(s, _):
+            return step(s)
+        return jax.lax.scan(body, state, None, length=n)
+
+    return chunk

@@ -24,6 +24,7 @@ from .grid import Grid, divergence
 from .ops.advect import advect_semilag
 from .ops.stencil import hyperdiffuse, laplacian_sphere, shapiro_filter
 from .ops.reductions import area_mean
+from .ops.control import cond_keep_dtypes
 from .state import OceanState
 
 
@@ -155,7 +156,7 @@ def ocean_step(grid: Grid, cfg: OceanConfig, land_mask,
             vo_ = hyperdiffuse(vo_, k4_v, sub_dt, cfg.k4_nsub, dlat, dlon, coslat, a)
             eta_ = hyperdiffuse(eta_, k4_eta, sub_dt, cfg.k4_nsub, dlat, dlon, coslat, a)
             return uo_, vo_, eta_
-        uo, vo, eta = jax.lax.cond(apply_diff, _diff, lambda o: o, (uo, vo, eta))
+        uo, vo, eta = cond_keep_dtypes(apply_diff, _diff, lambda o: o, (uo, vo, eta))
 
         if apply_shap:
             def _shap(ops):
@@ -163,7 +164,7 @@ def ocean_step(grid: Grid, cfg: OceanConfig, land_mask,
                 return (shapiro_filter(uo_, cfg.shapiro_n),
                         shapiro_filter(vo_, cfg.shapiro_n),
                         shapiro_filter(eta_, cfg.shapiro_n))
-            uo, vo, eta = jax.lax.cond(shap_pred, _shap, lambda o: o, (uo, vo, eta))
+            uo, vo, eta = cond_keep_dtypes(shap_pred, _shap, lambda o: o, (uo, vo, eta))
 
         # continuity (ocean.py:364-377)
         div = divergence(grid, uo, vo)

@@ -21,16 +21,24 @@ R_A = const.A_BINARY * (const.M_B / const.M_TOTAL_STARS)
 R_B = const.A_BINARY * (const.M_A / const.M_TOTAL_STARS)
 
 
-def stellar_positions(t):
-    """(x_A, y_A, x_B, y_B) barycentric coordinates at time t (s)."""
-    c = jnp.cos(OMEGA_BINARY * t)
-    s = jnp.sin(OMEGA_BINARY * t)
+def stellar_positions_from_phase(phase_binary):
+    """(x_A, y_A, x_B, y_B) from the binary orbital phase ω_b·t mod 2π."""
+    c = jnp.cos(phase_binary)
+    s = jnp.sin(phase_binary)
     return R_A * c, R_A * s, -R_B * c, -R_B * s
 
 
+def planet_position_from_phase(phase_planet):
+    return const.A_PLANET * jnp.cos(phase_planet), const.A_PLANET * jnp.sin(phase_planet)
+
+
+def stellar_positions(t):
+    """(x_A, y_A, x_B, y_B) barycentric coordinates at time t (s)."""
+    return stellar_positions_from_phase(OMEGA_BINARY * t)
+
+
 def planet_position(t):
-    ang = OMEGA_PLANET * t
-    return const.A_PLANET * jnp.cos(ang), const.A_PLANET * jnp.sin(ang)
+    return planet_position_from_phase(OMEGA_PLANET * t)
 
 
 def total_flux(t):

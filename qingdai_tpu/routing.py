@@ -1,0 +1,197 @@
+"""On-device river routing over the offline D8 network (P014).
+
+The reference routes accumulated runoff mass *sequentially* along a
+topological ``flow_order`` in a Python loop (/root/reference/pygcm/routing.py:261-298).
+On TPU that loop becomes a ``lax.fori_loop`` over topological *levels*
+(longest-path depth, precomputed offline): at level ℓ every cell of that
+level has already received all upstream mass, so the whole level routes as one
+masked scatter-add. Lake pass-through (routing.py:269-287) is folded into a
+per-cell effective downstream index computed once at build time.
+
+Mass conventions match the reference exactly: buffers in kg, fluxes in
+kg m⁻² s⁻¹, flow_accum in kg/s over the event window.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .config import HydrologyConfig
+from .grid import Grid
+from .ops.control import cond_keep_dtypes
+
+# Effective-downstream sentinel codes
+OCEAN = -1   # mass leaves to ocean
+STORE = -2   # endorheic lake storage (no outlet)
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class RoutingStatic:
+    """Precompiled network (flat row-major arrays of length n_cells)."""
+    n_levels: int = dataclasses.field(metadata=dict(static=True))
+    n_lakes: int = dataclasses.field(metadata=dict(static=True))
+    land_flat: jax.Array        # bool
+    level: jax.Array            # int32, −1 for ocean
+    eff_down: jax.Array         # int32: downstream idx, OCEAN or STORE
+    lake_id_flat: jax.Array     # int32 (0 = not lake)
+    lake_mask_flat: jax.Array   # bool
+    lake_area_frac: jax.Array   # (n_lakes,) area share of each lake
+    cell_area_flat: jax.Array   # m^2
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass
+class RoutingState:
+    buffer_kg: jax.Array        # (n_cells,) accumulated land runoff mass
+    t_accum: jax.Array          # scalar seconds since last event
+    flow_accum_kgps: jax.Array  # (n_cells,) last-event throughput
+    ocean_inflow_kgps: jax.Array  # scalar
+    mass_error_kg: jax.Array    # scalar closure error of last event
+    lake_volume_kg: jax.Array   # (n_lakes,) or (1,) if no lakes
+
+
+def build_routing_static(net: dict, grid: Grid, dtype=jnp.float32) -> RoutingStatic:
+    """Fold the offline network dict (hydro_network.build_network /
+    load_network_netcdf) into device arrays with lake redirection applied."""
+    land = net["land_mask"].ravel().astype(bool)
+    n_cells = land.size
+    flow_to = np.asarray(net["flow_to_index"]).ravel().astype(np.int64)
+    level = np.asarray(net["flow_level"]).ravel().astype(np.int32)
+    lake_id = np.asarray(net["lake_id"]).ravel().astype(np.int32)
+    lake_mask = np.asarray(net["lake_mask"]).ravel().astype(bool)
+    n_lakes = int(net.get("n_lakes", 0))
+    outlets = np.asarray(net.get("lake_outlet_index", np.zeros((0,), np.int32)))
+
+    eff = np.full(n_cells, OCEAN, np.int64)
+    for c in np.nonzero(land)[0]:
+        if lake_mask[c] and lake_id[c] > 0 and n_lakes > 0:
+            lid = int(lake_id[c])
+            if lid <= outlets.shape[0]:
+                o = int(outlets[lid - 1])
+                if o < 0:
+                    eff[c] = OCEAN
+                elif 0 <= o < n_cells and land[o]:
+                    eff[c] = o
+                else:
+                    eff[c] = OCEAN
+            else:
+                eff[c] = STORE
+        else:
+            dn = int(flow_to[c])
+            eff[c] = dn if (dn >= 0 and land[dn]) else OCEAN
+
+    # lake area fractions for P−E distribution (routing.py:305-318)
+    cell_area = np.asarray(grid.cell_area).ravel()
+    if n_lakes > 0:
+        total_lake_area = cell_area[lake_mask].sum()
+        frac = np.zeros(n_lakes)
+        for k in range(1, n_lakes + 1):
+            frac[k - 1] = cell_area[lake_id == k].sum() / max(total_lake_area, 1e-30)
+    else:
+        frac = np.zeros(1)
+
+    return RoutingStatic(
+        n_levels=int(net["n_levels"]),
+        n_lakes=max(n_lakes, 0),
+        land_flat=jnp.asarray(land),
+        level=jnp.asarray(level),
+        eff_down=jnp.asarray(eff.astype(np.int32)),
+        lake_id_flat=jnp.asarray(lake_id),
+        lake_mask_flat=jnp.asarray(lake_mask),
+        lake_area_frac=jnp.asarray(frac, dtype),
+        cell_area_flat=jnp.asarray(cell_area, dtype),
+    )
+
+
+def init_routing_state(static: RoutingStatic, dtype=jnp.float32) -> RoutingState:
+    n = static.land_flat.shape[0]
+    nl = max(static.n_lakes, 1)
+    return RoutingState(
+        buffer_kg=jnp.zeros((n,), dtype),
+        t_accum=jnp.asarray(0.0, dtype),
+        flow_accum_kgps=jnp.zeros((n,), dtype),
+        ocean_inflow_kgps=jnp.asarray(0.0, dtype),
+        mass_error_kg=jnp.asarray(0.0, dtype),
+        lake_volume_kg=jnp.zeros((nl,), dtype),
+    )
+
+
+def _route_event(rs: RoutingStatic, acc: jax.Array, lake_volume: jax.Array):
+    """Route accumulated mass along levels. Returns
+    (flow_accum_kg, ocean_out_kg, lake_volume', residual_kg)."""
+    n = acc.shape[0]
+    to_ocean = rs.eff_down == OCEAN
+    to_store = rs.eff_down == STORE
+    dn_safe = jnp.clip(rs.eff_down, 0, n - 1)
+
+    def body(l, carry):
+        acc, flow_accum, ocean_out, lake_vol = carry
+        at_level = rs.level == l
+        m = jnp.where(at_level, acc, 0.0)
+        flow_accum = flow_accum + m
+        ocean_out = ocean_out + jnp.sum(jnp.where(to_ocean, m, 0.0))
+        if rs.n_lakes > 0:
+            store_m = jnp.where(to_store, m, 0.0)
+            lake_vol = lake_vol.at[jnp.clip(rs.lake_id_flat - 1, 0, lake_vol.shape[0] - 1)].add(
+                jnp.where(to_store, store_m, 0.0))
+        fwd = jnp.where(at_level & (rs.eff_down >= 0), m, 0.0)
+        acc = acc - m + jnp.zeros_like(acc).at[dn_safe].add(fwd)
+        return acc, flow_accum, ocean_out, lake_vol
+
+    init = (acc, jnp.zeros_like(acc), jnp.asarray(0.0, acc.dtype), lake_volume)
+    acc, flow_accum, ocean_out, lake_vol = jax.lax.fori_loop(
+        0, rs.n_levels, body, init)
+    residual = jnp.sum(acc)
+    return flow_accum, ocean_out, lake_vol, residual
+
+
+def routing_step(rs: RoutingStatic, state: RoutingState, cfg: HydrologyConfig,
+                 R_land_flux, dt: float, precip_flux, evap_flux) -> RoutingState:
+    """Accumulate runoff mass; when Σdt ≥ dt_hydro, fire a routing event
+    (routing.py:211-335). Event firing is a lax.cond on the traced clock."""
+    dt_hydro = cfg.dt_hydro_hours * 3600.0
+    mass_incr = jnp.where(rs.land_flat,
+                          R_land_flux.ravel() * rs.cell_area_flat * dt, 0.0)
+    buffer_kg = state.buffer_kg + mass_incr
+    t_accum = state.t_accum + dt
+
+    def fire(_):
+        event_dt = t_accum
+        acc = buffer_kg
+        mass_input = jnp.sum(acc)
+        lake_vol = state.lake_volume_kg
+        flow_accum, ocean_out, lake_vol, residual = _route_event(rs, acc, lake_vol)
+
+        # lake P−E volume update over the event window (routing.py:305-318)
+        lake_delta = jnp.asarray(0.0, acc.dtype)
+        if rs.n_lakes > 0 and cfg.treat_lake_as_water:
+            net = (precip_flux.ravel() - evap_flux.ravel()) * rs.cell_area_flat * event_dt
+            lake_add = jnp.sum(jnp.where(rs.lake_mask_flat, net, 0.0))
+            lake_vol = lake_vol + rs.lake_area_frac * lake_add
+            lake_delta = lake_add
+
+        closure_err = mass_input - (ocean_out + lake_delta + residual)
+        return RoutingState(
+            buffer_kg=jnp.zeros_like(buffer_kg),
+            t_accum=jnp.zeros_like(t_accum),
+            flow_accum_kgps=flow_accum / jnp.maximum(event_dt, 1e-9),
+            ocean_inflow_kgps=ocean_out / jnp.maximum(event_dt, 1e-9),
+            mass_error_kg=closure_err,
+            lake_volume_kg=lake_vol,
+        )
+
+    def wait(_):
+        return RoutingState(
+            buffer_kg=buffer_kg, t_accum=t_accum,
+            flow_accum_kgps=state.flow_accum_kgps,
+            ocean_inflow_kgps=state.ocean_inflow_kgps,
+            mass_error_kg=state.mass_error_kg,
+            lake_volume_kg=state.lake_volume_kg,
+        )
+
+    return cond_keep_dtypes(t_accum + 1e-9 >= dt_hydro, fire, wait, None)

@@ -75,12 +75,23 @@ class EnergyState:
 @jax.tree_util.register_dataclass
 @dataclasses.dataclass
 class ClockState:
-    t_seconds: jax.Array        # absolute sim time (epoch-aware), f64-as-f32 ok per step
+    """Simulation clock.
+
+    Absolute time in f32 loses phase precision after ~years (resolution at
+    t≈1e9 s exceeds dt), so the three astronomical phases the physics actually
+    needs (planet rotation, binary orbit, planet orbit) are carried explicitly
+    and advanced mod 2π each step; t_seconds is kept only as approximate
+    bookkeeping (the host tracks the exact epoch as a Python float).
+    """
+    t_seconds: jax.Array        # approximate absolute sim time (bookkeeping)
     step_idx: jax.Array         # int32 global step counter
+    phase_rot: jax.Array        # Ω·t mod 2π (planet rotation)
+    phase_binary: jax.Array     # ω_binary·t mod 2π
+    phase_planet: jax.Array     # ω_planet·t mod 2π
     precip_acc_day: jax.Array   # accumulated precip over current day window
     accum_t_day: jax.Array      # seconds into current day window
     precip_day_last: jax.Array  # last completed daily accumulation (mm/day equiv)
-    phyto_next_time: jax.Array  # next phyto daily step time (s)
+    phyto_accum: jax.Array      # seconds since last phyto daily step
 
 
 @jax.tree_util.register_dataclass
@@ -155,14 +166,21 @@ def init_land(grid: Grid, dtype=jnp.float32) -> LandState:
 
 
 def init_clock(grid: Grid, t0_seconds: float = 0.0, dtype=jnp.float32) -> ClockState:
+    import math
+    from .physics import orbital
     shape = grid.shape
+    two_pi = 2.0 * math.pi
     return ClockState(
-        t_seconds=jnp.asarray(t0_seconds, jnp.float64 if jax.config.x64_enabled else jnp.float32),
+        t_seconds=jnp.asarray(t0_seconds, dtype),
         step_idx=jnp.asarray(0, jnp.int32),
+        phase_rot=jnp.asarray(math.fmod(const.PLANET_OMEGA * t0_seconds, two_pi), dtype),
+        phase_binary=jnp.asarray(math.fmod(orbital.OMEGA_BINARY * t0_seconds, two_pi), dtype),
+        phase_planet=jnp.asarray(math.fmod(orbital.OMEGA_PLANET * t0_seconds, two_pi), dtype),
         precip_acc_day=jnp.zeros(shape, dtype),
         accum_t_day=jnp.asarray(0.0, dtype),
         precip_day_last=jnp.zeros(shape, dtype),
-        phyto_next_time=jnp.asarray(0.0, dtype),
+        # fires on the first step like the reference's phyto_next_time=0.0
+        phyto_accum=jnp.asarray(const.DAY_SECONDS, dtype),
     )
 
 
