@@ -17,7 +17,7 @@ import jax.numpy as jnp
 from . import constants as const
 from .config import SimConfig
 from .grid import Grid, grad_lonlat
-from .ops.advect import advect_semilag
+from .ops.advect import advect_semilag, advect_semilag_multi
 from .ops.stencil import hyperdiffuse, shapiro_filter, spectral_zonal_filter
 from .ops.reductions import masked_median_of_positive
 from .ops.control import cond_keep_dtypes
@@ -117,12 +117,13 @@ def atmos_step(grid: Grid, cfg: SimConfig, static: StaticFields,
     T_s = (1.0 - w) * Ts_newton + w * Ts_energy
     h_ice = h_ice_next
 
-    # 2b) semi-Lagrangian advection of T_s and q (dynamics.py:453-461)
+    # 2b) semi-Lagrangian advection of T_s and q (dynamics.py:453-461),
+    # batched into one shared-index gather
     adv_alpha = dcfg.adv_alpha
     cos_tiny = grid.coslat_cap_tiny
-    T_s = (1.0 - adv_alpha) * T_s + adv_alpha * advect_semilag(T_s, u, v, dt, a, dlat, dlon, cos_tiny)
-    q_adv = advect_semilag(q, u, v, dt, a, dlat, dlon, cos_tiny)
-    q = jnp.clip((1.0 - adv_alpha) * q + adv_alpha * q_adv, 0.0, 0.5)
+    adv = advect_semilag_multi(jnp.stack([T_s, q]), u, v, dt, a, dlat, dlon, cos_tiny)
+    T_s = (1.0 - adv_alpha) * T_s + adv_alpha * adv[0]
+    q = jnp.clip((1.0 - adv_alpha) * q + adv_alpha * adv[1], 0.0, 0.5)
 
     # 3) height forcing toward h_eq (dynamics.py:463-467)
     R_gas = 287.0

@@ -20,7 +20,7 @@ import numpy as np
 from .. import constants as const
 from ..config import PhytoConfig, EcologyConfig
 from ..grid import Grid
-from ..ops.advect import advect_semilag
+from ..ops.advect import advect_semilag_multi
 from ..ops.stencil import laplacian_sphere
 from . import spectral as spec
 
@@ -199,17 +199,15 @@ def phyto_advect_diffuse(ps: PhytoStatic, st: PhytoState, cfg: PhytoConfig,
     a = const.PLANET_RADIUS
     coslat = grid.coslat_cap_05
 
-    def one(C):
-        C_adv = advect_semilag(C, uo, vo, dt, a, grid.dlat_rad, grid.dlon_rad, coslat)
-        C_new = (1.0 - cfg.adv_alpha) * C + cfg.adv_alpha * C_adv
-        if cfg.K_h > 0.0:
-            C_new = jnp.nan_to_num(C_new)
-            C_new = C_new + dt * cfg.K_h * laplacian_sphere(
-                C_new, grid.dlat_rad, grid.dlon_rad, coslat, a)
-        C_new = jnp.clip(C_new, 0.0, jnp.inf)
-        return jnp.where(ps.ocean, C_new, 0.0)
-
-    C = jax.vmap(one)(st.C_phyto)
+    # all species share one departure-point gather
+    C_adv = advect_semilag_multi(st.C_phyto, uo, vo, dt,
+                                 a, grid.dlat_rad, grid.dlon_rad, coslat)
+    C = (1.0 - cfg.adv_alpha) * st.C_phyto + cfg.adv_alpha * C_adv
+    if cfg.K_h > 0.0:
+        C = jnp.nan_to_num(C)
+        C = C + dt * cfg.K_h * jax.vmap(
+            lambda x: laplacian_sphere(x, grid.dlat_rad, grid.dlon_rad, coslat, a))(C)
+    C = jnp.where(ps.ocean[None], jnp.clip(C, 0.0, jnp.inf), 0.0)
 
     # polar ring averaging (phyto.py:531-547)
     for row in (0, -1):
