@@ -1,0 +1,382 @@
+"""QingdaiWorld: host-side orchestration of the jitted planet.
+
+The TPU-native counterpart of the reference driver
+(/root/reference/scripts/run_simulation.py:1161-2517) and the P020 OO façade
+(pygcm/world/__init__.py). All per-step physics lives in the jitted scan
+(model.py); this class owns only host concerns: topography/network
+construction or loading, restart/autosave in the reference NetCDF schemas,
+signal-safe checkpointing, cadenced diagnostics printing with the reference's
+bracketed tags, and plot dispatch. The simulation advances in scan chunks so
+the device never syncs with the host more than once per chunk.
+"""
+
+from __future__ import annotations
+
+import atexit
+import os
+import signal
+import sys
+import time
+from typing import Optional
+
+import jax
+import numpy as np
+
+from . import constants as const
+from . import hydro_network as hn
+from . import model as M
+from . import topography as topo
+from .config import SimConfig
+from .io import netcdf as ncio
+from .physics.orbital import T_PLANET
+
+
+class QingdaiWorld:
+    """Owns (model, state) and runs the simulation loop."""
+
+    def __init__(self, cfg: Optional[SimConfig] = None, verbose: bool = True):
+        self.cfg = cfg or SimConfig.from_env()
+        self.verbose = verbose
+        self.day_seconds = const.DAY_SECONDS
+        self._build()
+        self._init_state()
+        self._chunk_fn = None
+        self._hydro_prev = None  # (time_s, total_reservoir_mean)
+        self._autosave_registered = False
+
+    # ------------------------------------------------------------------ build
+    def _log(self, msg):
+        if self.verbose:
+            print(msg)
+
+    def _build(self):
+        cfg = self.cfg
+        n_lat, n_lon = cfg.run.n_lat, cfg.run.n_lon
+        self.lat = np.linspace(-90, 90, n_lat)
+        self.lon = np.linspace(0, 360, n_lon)
+        lon_mesh, lat_mesh = np.meshgrid(self.lon, self.lat)
+
+        # Topography: external NetCDF or procedural (run_simulation.py:1197-1226)
+        elevation = None
+        if cfg.run.topo_nc and os.path.exists(cfg.run.topo_nc):
+            try:
+                elevation, land_mask, base_albedo, friction = \
+                    topo.load_topography_from_netcdf(cfg.run.topo_nc, self.lat, self.lon)
+                self._log(f"[Topo] Loaded: {cfg.run.topo_nc}")
+            except (OSError, ValueError, KeyError) as e:
+                self._log(f"[Topo] Failed to load '{cfg.run.topo_nc}': {e} — procedural fallback.")
+                land_mask, elevation = topo.create_land_sea_mask(
+                    lat_mesh, lon_mesh, cfg.run.target_land_frac, cfg.run.seed)
+                base_albedo, friction = topo.generate_base_properties(
+                    land_mask, elevation, lat_mesh)
+        else:
+            land_mask, elevation = topo.create_land_sea_mask(
+                lat_mesh, lon_mesh, cfg.run.target_land_frac, cfg.run.seed)
+            base_albedo, friction = topo.generate_base_properties(
+                land_mask, elevation, lat_mesh)
+            area_w = np.maximum(np.cos(np.deg2rad(lat_mesh)), 0)
+            frac = float((area_w * (land_mask == 1)).sum() / (area_w.sum() + 1e-15))
+            self._log(f"[Topo] Procedural topography. Land fraction: {frac:.3f}")
+        try:
+            ncio.save_topography(os.path.join("data", "topography.nc"),
+                                 self.lat, self.lon, land_mask, base_albedo,
+                                 friction, elevation)
+        except OSError as e:
+            self._log(f"[Topo] topography.nc write skipped: {e}")
+
+        self.land_mask = land_mask
+        self.elevation = elevation
+        self.base_albedo = base_albedo
+        self.friction = friction
+
+        # Hydrology network: load or auto-generate (run_simulation.py:1296-1321)
+        network = None
+        if cfg.hydrology.routing_enable:
+            path = cfg.hydrology.network_path
+            if path and os.path.exists(path):
+                try:
+                    network = hn.load_network_netcdf(path)
+                    self._log(f"[HydroRouting] Loaded network '{path}'.")
+                except (OSError, KeyError) as e:
+                    self._log(f"[HydroRouting] Load failed ({e}); regenerating.")
+            if network is None:
+                network = hn.build_network(self.lat, self.lon,
+                                           elevation if elevation is not None
+                                           else np.zeros_like(land_mask, float),
+                                           land_mask)
+                try:
+                    hn.save_network_netcdf(path, network)
+                    self._log(f"[HydroRouting] Auto-generated network → '{path}'.")
+                except OSError:
+                    pass
+        self.network = network
+
+        self.model = M.build_model(cfg, land_mask, base_albedo, friction,
+                                   elevation=elevation, network=network)
+        self._log(f"[Model] grid {n_lat}x{n_lon}, dt={cfg.run.dt_seconds}s, "
+                  f"ocean_substeps={self.model.n_ocean_substeps}")
+
+    # ------------------------------------------------------------------ state
+    def _init_state(self):
+        cfg = self.cfg
+        t0 = 0.0
+        rst = None
+        # Restart priority: QD_RESTART_IN > autosave > banded init
+        # (run_simulation.py:1433-1590)
+        if cfg.run.restart_in and os.path.exists(cfg.run.restart_in):
+            rst = ncio.load_restart(cfg.run.restart_in)
+            self._log(f"[Restart] Loaded state from '{cfg.run.restart_in}'.")
+        elif cfg.run.autosave_load and os.path.exists(os.path.join("data", "atmosphere.nc")):
+            rst = ncio.load_restart(os.path.join("data", "atmosphere.nc"))
+            self._log("[Autosave] Loaded checkpoint from 'data/atmosphere.nc'.")
+        if rst is not None and rst.get("t_seconds"):
+            t0 = float(rst["t_seconds"])
+        if t0 == 0.0:
+            if cfg.run.orbit_epoch_seconds is not None:
+                t0 = cfg.run.orbit_epoch_seconds
+            elif cfg.run.orbit_epoch_days is not None:
+                t0 = cfg.run.orbit_epoch_days * self.day_seconds
+
+        self.t0_seconds = t0
+        self.t_seconds = t0  # exact epoch tracked host-side (float64)
+        self.state = M.init_world(self.model, t0_seconds=t0, seed=cfg.run.seed)
+        if rst is not None:
+            self.state = ncio.apply_restart_to_state(
+                self.state, rst, has_ocean=cfg.ocean.enabled)
+            if cfg.run.load_ocean and os.path.exists(os.path.join("data", "ocean.nc")):
+                o = ncio.load_ocean(os.path.join("data", "ocean.nc"))
+                self.state = ncio.apply_restart_to_state(
+                    self.state, {k: o.get(k) for k in ("uo", "vo", "eta", "Ts")},
+                    has_ocean=cfg.ocean.enabled)
+                self._log("[Restart] Ocean state overridden from 'data/ocean.nc'.")
+
+        # Ecology / plankton autosaves (run_simulation.py:1464-1488, 1377-1401)
+        if cfg.run.autosave_load and self.state.eco is not None:
+            gp = os.getenv("QD_ECO_GENES_JSON_PATH") or os.path.join("data", "genes.json")
+            if os.path.exists(gp):
+                genes = ncio.load_genes_json(gp)
+                if genes:
+                    self._apply_genes(genes)
+            ep = os.getenv("QD_ECO_AUTOSAVE_PATH") or os.path.join("data", "ecology.nc")
+            if os.path.exists(ep):
+                import dataclasses
+                from .ecology import population as eco_mod
+                eco_new, ok = ncio.load_ecology(ep, self.state.eco,
+                                                self.model.eco_static, cfg.ecology)
+                if ok:
+                    self.state = dataclasses.replace(self.state, eco=eco_new)
+                    self._log(f"[Ecology] autosave load OK from '{ep}'")
+        if (cfg.run.load_plankton and self.state.phyto is not None
+                and os.path.exists(os.path.join("data", "plankton.nc"))):
+            import dataclasses
+            ph_new, ok = ncio.load_plankton_nc(os.path.join("data", "plankton.nc"),
+                                               self.state.phyto, self.model.phyto_static)
+            if ok:
+                self.state = dataclasses.replace(self.state, phyto=ph_new)
+                self._log("[Phyto] plankton.nc load OK.")
+
+    def _apply_genes(self, genes_list):
+        """Rebuild per-species reflectance rows from a loaded genome table."""
+        import dataclasses
+        import jax.numpy as jnp
+        from .ecology import genes as gmod
+        from .ecology import spectral as smod
+        es = self.model.eco_static
+        bands = smod.make_bands(self.cfg.ecology)
+        eco = self.state.eco
+        R = np.asarray(eco.R_leaf).copy()
+        n = min(len(genes_list), es.S)
+        for i in range(n):
+            R[i] = gmod.reflectance_from_genes(bands.lambda_centers, genes_list[i])
+        packed = gmod.pack_genes(genes_list, es.S)
+        dtype = R.dtype
+        eco = dataclasses.replace(
+            eco, R_leaf=jnp.asarray(R),
+            peaks=jnp.asarray(packed["peaks"], dtype),
+            alloc=jnp.asarray(packed["alloc"], dtype),
+            leaf_area_per_energy=jnp.asarray(packed["leaf_area_per_energy"], dtype),
+            drought_tolerance=jnp.asarray(packed["drought_tolerance"], dtype),
+            gdd_germinate=jnp.asarray(packed["gdd_germinate"], dtype),
+            lifespan_days=jnp.asarray(packed["lifespan_days"], dtype))
+        self.state = dataclasses.replace(self.state, eco=eco)
+        self.genes_list = genes_list
+        self._log(f"[Ecology] Genes autosave loaded: Ns={len(genes_list)}")
+
+    # --------------------------------------------------------------- autosave
+    def autosave(self):
+        """Write the full autosave set (run_simulation.py:1669-1687)."""
+        cfg = self.cfg
+        day_value = self.t_seconds / self.day_seconds
+        try:
+            ncio.save_restart(os.path.join("data", "atmosphere.nc"),
+                              self.lat, self.lon, jax.device_get(self.state),
+                              self.land_mask, t_seconds=self.t_seconds)
+            self._log("[Autosave] Core state saved to 'data/atmosphere.nc'")
+        except OSError as e:
+            self._log(f"[Autosave] NetCDF save failed: {e}")
+        if cfg.ocean.enabled:
+            ncio.save_ocean(os.path.join("data", "ocean.nc"), self.lat, self.lon,
+                            jax.device_get(self.state.ocean), day_value)
+        if self.state.eco is not None:
+            from .ecology import spectral as smod
+            from .ecology import genes as gmod
+            bands = smod.make_bands(cfg.ecology)
+            w_b = smod.band_weights(bands, cfg.ecology)
+            eco_host = jax.device_get(self.state.eco)
+            path = os.getenv("QD_ECO_AUTOSAVE_PATH") or os.path.join("data", "ecology.nc")
+            ncio.save_ecology(path, self.lat, self.lon, eco_host, bands, w_b,
+                              day_value=day_value)
+            n_act = int(np.asarray(eco_host.n_active))
+            genes_list = gmod.unpack_genes(
+                {k: getattr(eco_host, k) for k in
+                 ("peaks", "alloc", "leaf_area_per_energy", "drought_tolerance",
+                  "gdd_germinate", "lifespan_days")}, n_act)
+            ncio.save_genes_json(os.path.join("data", "genes.json"), genes_list,
+                                 bands, w_b,
+                                 species_weights=np.asarray(eco_host.species_weights)[:n_act],
+                                 day_value=day_value)
+        if self.state.phyto is not None:
+            from .ecology import spectral as smod
+            bands = smod.make_bands(cfg.ecology)
+            ncio.save_plankton_bio_json(os.path.join("data", "plankton.json"),
+                                        self.model.phyto_static, cfg.phyto,
+                                        bands, day_value)
+            ncio.save_plankton_nc(os.path.join("data", "plankton.nc"),
+                                  self.lat, self.lon,
+                                  jax.device_get(self.state.phyto),
+                                  self.model.phyto_static, bands, day_value)
+
+    def _register_autosave_hooks(self):
+        if self._autosave_registered or not self.cfg.run.autosave_enable:
+            return
+        self._autosave_registered = True
+        atexit.register(self._safe_autosave)
+
+        def handler(signum, frame):
+            print(f"[Autosave] Caught signal {signum}, saving checkpoint...")
+            self._safe_autosave()
+            sys.exit(130 if signum == signal.SIGINT else 143)
+
+        try:
+            signal.signal(signal.SIGINT, handler)
+            signal.signal(signal.SIGTERM, handler)
+        except ValueError:
+            pass  # not main thread
+
+    def _safe_autosave(self):
+        try:
+            self.autosave()
+        except Exception as e:  # never crash shutdown on autosave failure
+            print(f"[Autosave] Save failed: {e}")
+
+    # -------------------------------------------------------------------- run
+    def step_chunk(self, n_steps: Optional[int] = None):
+        """Advance n_steps inside one jitted scan; returns stacked diags."""
+        n = n_steps or self.cfg.run.chunk_steps
+        if self._chunk_fn is None or self._chunk_steps != n:
+            self._chunk_fn = jax.jit(M.make_chunk_fn(self.model, n))
+            self._chunk_steps = n
+        self.state, diags = self._chunk_fn(self.state)
+        self.t_seconds += n * self.model.dt
+        return diags
+
+    def _print_diags(self, diags, step0: int):
+        """Reference-tagged diagnostics at ~200-step cadence from the stacked
+        per-step scalars (SURVEY.md §5.5)."""
+        n = len(np.asarray(diags["Ts_mean"]))
+        for i in range(n):
+            gstep = step0 + i
+            if gstep % 200 != 0:
+                continue
+            d = {k: float(np.asarray(v)[i]) for k, v in diags.items()}
+            print(f"[EnergyDiag] TOA_net={d['TOA_net']:.2f} W/m^2 | "
+                  f"SFC_net={d['SFC_net']:.2f} | ATM_net={d['ATM_net']:.2f} | "
+                  f"<Ts>={d['Ts_mean']:.2f} K")
+            print(f"[HumidityDiag] ⟨E⟩={d['E_mean']:.3e} kg/m^2/s | "
+                  f"⟨LH⟩={d['LH_mean']:.2f} W/m^2 | "
+                  f"⟨LH_release⟩={d['LH_release_mean']:.2f} W/m^2")
+            t_now = (self.t0_seconds + (gstep + 1) * self.model.dt)
+            msg = (f"[WaterDiag] ⟨E⟩={d['E_mean']:.3e} kg/m^2/s | "
+                   f"⟨P⟩={d['P_mean']:.3e} | ⟨R⟩={d['R_mean']:.3e} | "
+                   f"⟨CWV⟩={d['CWV_mean']:.3e} kg/m^2 | ⟨ICE⟩={d['ICE_mean']:.3e} | "
+                   f"⟨W_land⟩={d['W_land_mean']:.3e} | ⟨S_snow⟩={d['S_snow_mean']:.3e}")
+            if self._hydro_prev is not None:
+                t_prev, tot_prev = self._hydro_prev
+                dts = t_now - t_prev
+                if dts > 0:
+                    ddt = (d["total_reservoir_mean"] - tot_prev) / dts
+                    resid = ddt - (d["E_mean"] - d["P_mean"] - d["R_mean"])
+                    msg += (f" | d/dt Σ={ddt:.3e} vs (E−P−R) -> residual={resid:.3e}")
+            self._hydro_prev = (t_now, d["total_reservoir_mean"])
+            print(msg)
+            if "ocean_KE_mean" in d:
+                print(f"[OceanDiag] KE_mean={d['ocean_KE_mean']:.3e} m2/s2 | "
+                      f"Umax={d['ocean_U_max']:.2f} m/s")
+            if "routing_ocean_inflow_kgps" in d:
+                print(f"[HydroRoutingDiag] ocean_inflow="
+                      f"{d['routing_ocean_inflow_kgps']:.3e} kg/s | "
+                      f"mass_error={d['routing_mass_error_kg']:.3e} kg")
+
+    def run(self, duration_seconds: Optional[float] = None):
+        """Main loop: chunks + autosave + diagnostics + plots
+        (run_simulation.py:1592-2490)."""
+        cfg = self.cfg
+        if duration_seconds is None:
+            if cfg.run.total_years is not None:
+                duration_seconds = cfg.run.total_years * T_PLANET
+            elif cfg.run.sim_days is not None:
+                duration_seconds = cfg.run.sim_days * self.day_seconds
+            else:
+                duration_seconds = 5 * T_PLANET
+
+        dt = self.model.dt
+        total_steps = int(duration_seconds / dt)
+        chunk = cfg.run.chunk_steps
+        os.makedirs("output", exist_ok=True)
+        os.makedirs("data", exist_ok=True)
+        self._register_autosave_hooks()
+
+        autosave_every_s = cfg.run.autosave_every_hours * (self.day_seconds / 24.0)
+        next_autosave = self.t_seconds + autosave_every_s
+        plot_every_s = cfg.run.plot_every_days * 24 * 3600.0
+        next_plot = self.t_seconds  # plot at start like the reference (i==0)
+
+        self._log(f"\n--- Starting Simulation ---")
+        self._log(f"Grid: {cfg.run.n_lat} x {cfg.run.n_lon} | dt={dt}s | "
+                  f"steps={total_steps} (chunks of {chunk})")
+
+        done = 0
+        t_wall0 = time.time()
+        while done < total_steps:
+            n = min(chunk, total_steps - done)
+            if self.t_seconds >= next_plot:
+                self._plots()
+                next_plot += plot_every_s
+            diags = self.step_chunk(n)
+            self._print_diags(diags, done)
+            done += n
+            if cfg.run.autosave_enable and self.t_seconds >= next_autosave:
+                self._safe_autosave()
+                next_autosave += autosave_every_s
+            if done % (chunk * 10) == 0 or done >= total_steps:
+                elapsed = time.time() - t_wall0
+                sy_h = (done * dt / T_PLANET) / max(elapsed / 3600.0, 1e-9)
+                self._log(f"t={self.t_seconds / self.day_seconds:.1f}d | "
+                          f"{done}/{total_steps} steps | {sy_h:.1f} sim-years/hour")
+        if cfg.run.restart_out:
+            ncio.save_restart(cfg.run.restart_out, self.lat, self.lon,
+                              jax.device_get(self.state), self.land_mask,
+                              t_seconds=self.t_seconds)
+            self._log(f"[Restart] Saved final state to '{cfg.run.restart_out}'.")
+
+    def _plots(self):
+        try:
+            from .viz import plots as viz
+            viz.plot_all(self, self.t_seconds / self.day_seconds, "output")
+        except Exception as e:  # plots must never kill the run
+            self._log(f"[Viz] skipped: {e}")
+
+    # ---------------------------------------------------------------- factory
+    @classmethod
+    def create_default(cls) -> "QingdaiWorld":
+        return cls(SimConfig.from_env())

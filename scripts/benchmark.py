@@ -1,0 +1,83 @@
+#!/usr/bin/env python3
+"""Per-step wall-time benchmark (counterpart of the reference's
+scripts/benchmark_jax.py): configurable grid/steps/dt/subsystems, prints
+total + per-step time + sim-days and sim-years/hour."""
+
+import argparse
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.append(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--nlat", type=int, default=181)
+    ap.add_argument("--nlon", type=int, default=360)
+    ap.add_argument("--steps", type=int, default=480)
+    ap.add_argument("--dt", type=float, default=300.0)
+    ap.add_argument("--no-ocean", action="store_true")
+    ap.add_argument("--no-eco", action="store_true")
+    ap.add_argument("--no-phyto", action="store_true")
+    ap.add_argument("--no-routing", action="store_true")
+    args = ap.parse_args()
+
+    os.environ["QD_N_LAT"] = str(args.nlat)
+    os.environ["QD_N_LON"] = str(args.nlon)
+    os.environ["QD_DT_SECONDS"] = str(args.dt)
+    if args.no_ocean:
+        os.environ["QD_USE_OCEAN"] = "0"
+    if args.no_eco:
+        os.environ["QD_ECO_ENABLE"] = "0"
+    if args.no_phyto:
+        os.environ["QD_PHYTO_ENABLE"] = "0"
+    if args.no_routing:
+        os.environ["QD_HYDRO_ENABLE"] = "0"
+
+    import jax
+    from qingdai_tpu.config import SimConfig
+    from qingdai_tpu import model as M, topography as topo, hydro_network as hn
+    from qingdai_tpu.physics.orbital import T_PLANET
+    from qingdai_tpu import constants as const
+
+    print(f"[Benchmark] devices={jax.devices()}")
+    print(f"[Benchmark] Grid: {args.nlat}x{args.nlon}, steps={args.steps}, "
+          f"dt={args.dt}s")
+    cfg = SimConfig.from_env()
+    lat = np.linspace(-90, 90, args.nlat)
+    lon = np.linspace(0, 360, args.nlon)
+    lon_mesh, lat_mesh = np.meshgrid(lon, lat)
+    mask, elev = topo.create_land_sea_mask(lat_mesh, lon_mesh, seed=cfg.run.seed)
+    alb, fric = topo.generate_base_properties(mask, elev, lat_mesh)
+    net = None
+    if cfg.hydrology.routing_enable:
+        net = hn.build_network(lat, lon, elev, mask)
+    mdl = M.build_model(cfg, mask, alb, fric, elevation=elev, network=net)
+    state = M.init_world(mdl)
+
+    chunk_steps = min(args.steps, 240)
+    chunk = jax.jit(M.make_chunk_fn(mdl, chunk_steps))
+    t0 = time.time()
+    state, _ = chunk(state)
+    jax.block_until_ready(state)
+    print(f"[Benchmark] compile+first chunk: {time.time()-t0:.1f}s")
+
+    n_chunks = max(1, args.steps // chunk_steps)
+    t0 = time.time()
+    for _ in range(n_chunks):
+        state, _ = chunk(state)
+    jax.block_until_ready(state)
+    wall = time.time() - t0
+    steps = n_chunks * chunk_steps
+    per = wall / steps
+    sim_days = steps * args.dt / const.DAY_SECONDS
+    print(f"[Benchmark] Total wall time: {wall:.3f} s | per-step: {per:.6f} s "
+          f"| sim_days={sim_days:.3f} | "
+          f"{3600/per*args.dt/T_PLANET:.1f} sim-years/hour")
+
+
+if __name__ == "__main__":
+    main()
