@@ -356,7 +356,7 @@ def eco_step_daily(es: EcoStatic, state: EcoState, cfg: EcologyConfig,
     seeds_to_germ = jnp.maximum(0.0, cfg.seed_germinate_frac) * seed_bank * gate
     w_norm = state.species_weights / (jnp.sum(state.species_weights) + 1e-12)
     add_total = cfg.seedling_lai * seeds_to_germ
-    add_s0 = w_norm[:, None, None] * add_total[None] * landf[None]
+    add_s0 = (w_norm[:, None, None] * add_total[None] * landf[None]).astype(LAI_SK.dtype)
     LAI_SK = LAI_SK.at[:, 0].set(jnp.clip(LAI_SK[:, 0] + add_s0, 0.0, P.lai_max))
     seed_bank = jnp.maximum(0.0, seed_bank - seeds_to_germ) * max(0.0, 1.0 - cfg.seed_bank_decay)
 
