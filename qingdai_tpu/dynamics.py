@@ -18,7 +18,8 @@ from . import constants as const
 from .config import SimConfig
 from .grid import Grid, grad_lonlat
 from .ops.advect import advect_semilag, advect_semilag_multi
-from .ops.stencil import hyperdiffuse, shapiro_filter, spectral_zonal_filter
+from .ops.stencil import (hyperdiffuse, hyperdiffuse_multi, shapiro_filter,
+                          shapiro_filter_multi, spectral_zonal_filter)
 from .ops.reductions import masked_median_of_positive
 from .ops.control import cond_keep_dtypes
 from .physics import energy as en
@@ -160,42 +161,60 @@ def atmos_step(grid: Grid, cfg: SimConfig, static: StaticFields,
         u = u + (-static.friction * u) * dt
         v = v + (-static.friction * v) * dt
 
-    # ---- filters (dynamics.py:532-639) ----
+    # ---- filters (dynamics.py:532-639), batched across fields ----
     cos02 = grid.coslat_cap_02
     if dcfg.diff_enable and dcfg.filter_type in ("hyper4", "combo"):
         k4_base = dcfg.sigma4 * grid.k4_map_unit / max(1e-12, dt)
-        k4_u = dcfg.k4_u if dcfg.k4_u is not None else k4_base
-        k4_v = dcfg.k4_v if dcfg.k4_v is not None else k4_base
-        k4_h = dcfg.k4_h if dcfg.k4_h is not None else 0.5 * k4_base
-        k4_q = dcfg.k4_q if dcfg.k4_q is not None else 0.5 * k4_base
-        k4_c = dcfg.k4_cloud if dcfg.k4_cloud is not None else 0.25 * k4_base
+        # q/cloud: σ4 maps are > 0 so the reference's np.any(k4>0) gate is
+        # true whenever maps are used; explicit scalar 0 overrides disable.
+        apply_q = dcfg.diff_q or (dcfg.k4_q is None) or (dcfg.k4_q > 0.0)
+        apply_c = dcfg.diff_cloud or (dcfg.k4_cloud is None) or (dcfg.k4_cloud > 0.0)
 
-        def _apply_hyper(ops):
-            u_, v_, h_, q_, c_ = ops
-            u_ = hyperdiffuse(u_, k4_u, dt, dcfg.k4_nsub, dlat, dlon, cos02, a)
-            v_ = hyperdiffuse(v_, k4_v, dt, dcfg.k4_nsub, dlat, dlon, cos02, a)
-            h_ = hyperdiffuse(h_, k4_h, dt, dcfg.k4_nsub, dlat, dlon, cos02, a)
-            # q/cloud: σ4 maps are > 0 so the reference's np.any(k4>0) gate is
-            # true whenever maps are used; explicit scalar 0 overrides disable.
-            apply_q = dcfg.diff_q or (dcfg.k4_q is None) or (dcfg.k4_q > 0.0)
-            apply_c = dcfg.diff_cloud or (dcfg.k4_cloud is None) or (dcfg.k4_cloud > 0.0)
-            if apply_q:
-                q_ = hyperdiffuse(q_, k4_q, dt, 1, dlat, dlon, cos02, a)
-            if apply_c:
-                c_ = hyperdiffuse(c_, k4_c, dt, 1, dlat, dlon, cos02, a)
-            return u_, v_, h_, q_, c_
+        def _k4_of(override, mult):
+            if override is not None:
+                return jnp.full_like(k4_base, override)
+            return mult * k4_base
 
-        u, v, h, q, cloud = cond_keep_dtypes(
-            _every(step_idx, max(1, dcfg.diff_every)),
-            _apply_hyper, lambda ops: ops, (u, v, h, q, cloud))
+        rows = [("u", _k4_of(dcfg.k4_u, 1.0)), ("v", _k4_of(dcfg.k4_v, 1.0)),
+                ("h", _k4_of(dcfg.k4_h, 0.5))]
+        if apply_q:
+            rows.append(("q", _k4_of(dcfg.k4_q, 0.5)))
+        if apply_c:
+            rows.append(("c", _k4_of(dcfg.k4_cloud, 0.25)))
+        field_map = {"u": u, "v": v, "h": h, "q": q, "c": cloud}
+        stack = jnp.stack([field_map[name] for name, _ in rows])
+        k4_stack = jnp.stack([k for _, k in rows])
+
+        # The reference applies nsub substeps to u/v/h but a single step to
+        # q/cloud (dynamics.py:584-594): one batched call when nsub==1, else
+        # two batched calls split at the u/v/h boundary.
+        def _apply_hyper(s):
+            if dcfg.k4_nsub <= 1:
+                return hyperdiffuse_multi(s, k4_stack, dt, 1, dlat, dlon, cos02, a)
+            uvh = hyperdiffuse_multi(s[:3], k4_stack[:3], dt, dcfg.k4_nsub,
+                                     dlat, dlon, cos02, a)
+            if s.shape[0] > 3:
+                qc = hyperdiffuse_multi(s[3:], k4_stack[3:], dt, 1,
+                                        dlat, dlon, cos02, a)
+                return jnp.concatenate([uvh, qc], axis=0)
+            return uvh
+
+        if dcfg.diff_every <= 1:
+            stack = _apply_hyper(stack)
+        else:
+            stack = cond_keep_dtypes(_every(step_idx, dcfg.diff_every),
+                                     _apply_hyper, lambda s: s, stack)
+        for i, (name, _) in enumerate(rows):
+            field_map[name] = stack[i]
+        u, v, h = field_map["u"], field_map["v"], field_map["h"]
+        q, cloud = field_map["q"], field_map["c"]
 
     # Shapiro cadence (dynamics.py:609-626): applied for hyper4/shapiro/combo
     if dcfg.filter_type in ("shapiro", "combo", "hyper4") and dcfg.shapiro_every > 0:
         def _apply_shapiro(ops):
             u_, v_, h_, q_, c_ = ops
-            u_ = shapiro_filter(u_, n=dcfg.shapiro_n)
-            v_ = shapiro_filter(v_, n=dcfg.shapiro_n)
-            h_ = shapiro_filter(h_, n=dcfg.shapiro_n)
+            uvh = shapiro_filter_multi(jnp.stack([u_, v_, h_]), n=dcfg.shapiro_n)
+            u_, v_, h_ = uvh[0], uvh[1], uvh[2]
             if dcfg.diff_q:
                 q_ = shapiro_filter(q_, n=max(1, dcfg.shapiro_n - 1))
             if dcfg.diff_cloud:

@@ -193,15 +193,12 @@ def phyto_step_daily(ps: PhytoStatic, st: PhytoState, cfg: PhytoConfig,
                       alpha_scalar=alpha_scalar, Kd_490=Kd_b[ps.idx_490])
 
 
-def phyto_advect_diffuse(ps: PhytoStatic, st: PhytoState, cfg: PhytoConfig,
-                         grid: Grid, uo, vo, dt: float) -> PhytoState:
-    """Per-physics-step transport of each species (phyto.py:496-547)."""
+def phyto_apply_transport(ps: PhytoStatic, st: PhytoState, cfg: PhytoConfig,
+                          grid: Grid, C_adv, dt: float) -> PhytoState:
+    """Blend + lateral diffusion + masking given pre-gathered advected
+    chlorophyll (the gather may have ridden the ocean SST advection)."""
     a = const.PLANET_RADIUS
     coslat = grid.coslat_cap_05
-
-    # all species share one departure-point gather
-    C_adv = advect_semilag_multi(st.C_phyto, uo, vo, dt,
-                                 a, grid.dlat_rad, grid.dlon_rad, coslat)
     C = (1.0 - cfg.adv_alpha) * st.C_phyto + cfg.adv_alpha * C_adv
     if cfg.K_h > 0.0:
         C = jnp.nan_to_num(C)
@@ -218,3 +215,13 @@ def phyto_advect_diffuse(ps: PhytoStatic, st: PhytoState, cfg: PhytoConfig,
         C = C.at[:, row, :].set(newrow)
 
     return dataclasses.replace(st, C_phyto=C)
+
+
+def phyto_advect_diffuse(ps: PhytoStatic, st: PhytoState, cfg: PhytoConfig,
+                         grid: Grid, uo, vo, dt: float) -> PhytoState:
+    """Per-physics-step transport of each species (phyto.py:496-547);
+    all species share one departure-point gather."""
+    C_adv = advect_semilag_multi(st.C_phyto, uo, vo, dt, const.PLANET_RADIUS,
+                                 grid.dlat_rad, grid.dlon_rad,
+                                 grid.coslat_cap_05)
+    return phyto_apply_transport(ps, st, cfg, grid, C_adv, dt)

@@ -417,17 +417,29 @@ def make_step_fn(model: Model):
                     (step_idx % max(1, cfg.energy.tune_every)) == 0,
                     tune, lambda es: es, estate)
 
-            ocn = ocean_step(grid, cfg.ocean, land_mask, ocn, atmos.u, atmos.v,
-                             Q_net, ice_mask, step_idx, dt,
-                             model.n_ocean_substeps)
+            # When n_sub==1 the phyto transport gather is identical to the
+            # SST advection gather, so the chlorophyll stack rides along.
+            share_gather = (phyto_on and cfg.phyto.advection
+                            and model.n_ocean_substeps == 1)
+            tracers = phyto_state.C_phyto if share_gather else None
+            ocn, tracers_adv = ocean_step(grid, cfg.ocean, land_mask, ocn,
+                                          atmos.u, atmos.v, Q_net, ice_mask,
+                                          step_idx, dt,
+                                          model.n_ocean_substeps,
+                                          tracers=tracers)
             ocean_open = ocean_mask & (~ice_mask)
             atmos = dataclasses.replace(
                 atmos, T_s=jnp.where(ocean_open, ocn.sst, atmos.T_s))
 
             if phyto_on and cfg.phyto.advection:
-                phyto_state = phyto_mod.phyto_advect_diffuse(
-                    model.phyto_static, phyto_state, cfg.phyto, grid,
-                    ocn.uo, ocn.vo, dt)
+                if share_gather:
+                    phyto_state = phyto_mod.phyto_apply_transport(
+                        model.phyto_static, phyto_state, cfg.phyto, grid,
+                        tracers_adv, dt)
+                else:
+                    phyto_state = phyto_mod.phyto_advect_diffuse(
+                        model.phyto_static, phyto_state, cfg.phyto, grid,
+                        ocn.uo, ocn.vo, dt)
         else:
             Q_net = jnp.zeros_like(atmos.T_s)
 

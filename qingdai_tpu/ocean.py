@@ -21,8 +21,10 @@ import numpy as np
 from . import constants as const
 from .config import OceanConfig
 from .grid import Grid, divergence
-from .ops.advect import advect_semilag
-from .ops.stencil import hyperdiffuse, laplacian_sphere, shapiro_filter
+from .ops.advect import advect_semilag, advect_semilag_multi
+from .ops.stencil import (hyperdiffuse, hyperdiffuse_multi,
+                          laplacian_sphere, shapiro_filter,
+                          shapiro_filter_multi)
 from .ops.reductions import area_mean
 from .ops.control import cond_keep_dtypes
 from .state import OceanState
@@ -94,8 +96,14 @@ def polar_vector_average_fill(u, v, ocean_mask, lons_rad):
 
 def ocean_step(grid: Grid, cfg: OceanConfig, land_mask,
                ocn: OceanState, u_atm, v_atm, Q_net, ice_mask,
-               step_idx, dt: float, n_sub: int):
-    """Advance the slab ocean one outer step with ``n_sub`` static substeps."""
+               step_idx, dt: float, n_sub: int, tracers=None):
+    """Advance the slab ocean one outer step with ``n_sub`` static substeps.
+
+    ``tracers`` ([T,H,W], optional, n_sub==1 only): extra fields advected in
+    the SAME departure-point gather as the SST — the phyto chlorophyll stack
+    rides along for free since its advecting currents are identical when
+    there is a single substep (model.py couples them). Returns
+    (OceanState, advected_tracers | None)."""
     a = const.PLANET_RADIUS
     dlat, dlon = grid.dlat_rad, grid.dlon_rad
     coslat = grid.coslat_cap_05
@@ -131,8 +139,11 @@ def ocean_step(grid: Grid, cfg: OceanConfig, land_mask,
     apply_shap = ((cfg.shapiro_n > 0) and (cfg.shapiro_every > 0))
     shap_pred = (step_idx % max(1, cfg.shapiro_every)) == 0 if apply_shap else None
 
+    if tracers is not None and n_sub != 1:
+        raise ValueError("shared-gather tracers require n_sub == 1")
+
     def substep(carry, _):
-        uo, vo, eta, sst = carry
+        uo, vo, eta, sst, trc = carry
         # pressure gradient (ocean.py:306-310) — roll-based central diff
         deta_dlam = (jnp.roll(eta, -1, axis=1) - jnp.roll(eta, 1, axis=1)) / (2.0 * dlon)
         deta_dphi = (jnp.roll(eta, -1, axis=0) - jnp.roll(eta, 1, axis=0)) / (2.0 * dlat)
@@ -149,21 +160,26 @@ def ocean_step(grid: Grid, cfg: OceanConfig, land_mask,
         uo = uo - sub_dt * r_extra * uo
         vo = vo - sub_dt * r_extra * vo
 
-        # hyperdiffusion, cadence tied to the outer step (ocean.py:341)
+        # hyperdiffusion, cadence tied to the outer step (ocean.py:341),
+        # batched across (uo, vo, eta)
         def _diff(ops):
             uo_, vo_, eta_ = ops
-            uo_ = hyperdiffuse(uo_, k4_u, sub_dt, cfg.k4_nsub, dlat, dlon, coslat, a)
-            vo_ = hyperdiffuse(vo_, k4_v, sub_dt, cfg.k4_nsub, dlat, dlon, coslat, a)
-            eta_ = hyperdiffuse(eta_, k4_eta, sub_dt, cfg.k4_nsub, dlat, dlon, coslat, a)
-            return uo_, vo_, eta_
-        uo, vo, eta = cond_keep_dtypes(apply_diff, _diff, lambda o: o, (uo, vo, eta))
+            stack = jnp.stack([uo_, vo_, eta_])
+            k4s = jnp.stack([jnp.broadcast_to(k4_u, uo_.shape),
+                             jnp.broadcast_to(k4_v, uo_.shape),
+                             jnp.broadcast_to(k4_eta, uo_.shape)])
+            out = hyperdiffuse_multi(stack, k4s, sub_dt, cfg.k4_nsub,
+                                     dlat, dlon, coslat, a)
+            return out[0], out[1], out[2]
+        if cfg.diff_every == 1:
+            uo, vo, eta = _diff((uo, vo, eta))
+        else:
+            uo, vo, eta = cond_keep_dtypes(apply_diff, _diff, lambda o: o, (uo, vo, eta))
 
         if apply_shap:
             def _shap(ops):
-                uo_, vo_, eta_ = ops
-                return (shapiro_filter(uo_, cfg.shapiro_n),
-                        shapiro_filter(vo_, cfg.shapiro_n),
-                        shapiro_filter(eta_, cfg.shapiro_n))
+                out = shapiro_filter_multi(jnp.stack(ops), cfg.shapiro_n)
+                return out[0], out[1], out[2]
             uo, vo, eta = cond_keep_dtypes(shap_pred, _shap, lambda o: o, (uo, vo, eta))
 
         # continuity (ocean.py:364-377)
@@ -173,8 +189,15 @@ def ocean_step(grid: Grid, cfg: OceanConfig, land_mask,
         eta_mean = area_mean(eta, grid.area_w, mask=ocean_mask)
         eta = eta - eta_mean
 
-        # SST advection + lateral diffusion (ocean.py:379-386)
-        sst_adv = advect_semilag(sst, uo, vo, sub_dt, a, dlat, dlon, coslat)
+        # SST advection + lateral diffusion (ocean.py:379-386); tracers share
+        # the departure-point gather
+        if trc is not None:
+            stacked = jnp.concatenate([sst[None], trc], axis=0)
+            adv = advect_semilag_multi(stacked, uo, vo, sub_dt, a, dlat, dlon, coslat)
+            sst_adv = adv[0]
+            trc = adv[1:]
+        else:
+            sst_adv = advect_semilag(sst, uo, vo, sub_dt, a, dlat, dlon, coslat)
         sst = (1.0 - cfg.adv_alpha) * sst + cfg.adv_alpha * sst_adv
         if cfg.K_h > 0.0:
             sst = sst + sub_dt * cfg.K_h * laplacian_sphere(sst, dlat, dlon, coslat, a)
@@ -212,10 +235,10 @@ def ocean_step(grid: Grid, cfg: OceanConfig, land_mask,
 
         eta = jnp.clip(jnp.nan_to_num(eta), -cfg.eta_cap, cfg.eta_cap)
         sst = jnp.nan_to_num(sst)
-        return (uo, vo, eta, sst), None
+        return (uo, vo, eta, sst, trc), None
 
-    (uo, vo, eta, sst), _ = jax.lax.scan(
-        substep, (ocn.uo, ocn.vo, ocn.eta, ocn.sst), None, length=n_sub)
+    (uo, vo, eta, sst, tracers_adv), _ = jax.lax.scan(
+        substep, (ocn.uo, ocn.vo, ocn.eta, ocn.sst, tracers), None, length=n_sub)
 
     # polar corrections (ocean.py:519-528)
     if cfg.polar_fix:
@@ -224,7 +247,7 @@ def ocean_step(grid: Grid, cfg: OceanConfig, land_mask,
         uo, vo = polar_vector_average_fill(uo, vo, ocean_mask, lons_rad)
 
     sst = jnp.clip(sst, cfg.ts_min, cfg.ts_max)
-    return OceanState(uo=uo, vo=vo, eta=eta, sst=sst)
+    return OceanState(uo=uo, vo=vo, eta=eta, sst=sst), tracers_adv
 
 
 def ocean_diagnostics(grid: Grid, cfg: OceanConfig, ocn: OceanState):

@@ -33,6 +33,7 @@ def bilinear_wrap_gather_multi(fields: jax.Array, dep_j: jax.Array,
     faster per field than four per-corner jnp.take calls.
     """
     M, H, W = fields.shape
+    out_shape = dep_j.shape  # departure points may cover a row subset
     j0f = jnp.floor(dep_j)
     i0f = jnp.floor(dep_i)
     fj = (dep_j - j0f).astype(fields.dtype)
@@ -47,9 +48,9 @@ def bilinear_wrap_gather_multi(fields: jax.Array, dep_j: jax.Array,
     G = jnp.stack([fields, right, down, diag], axis=1)      # [M,4,H,W]
     Gf = G.reshape(M * 4, H * W)
 
-    flat_idx = (j0 * W + i0).ravel()                         # [H*W]
-    gathered = jnp.take(Gf, flat_idx, axis=1)                # [M*4, H*W]
-    gathered = gathered.reshape(M, 4, H, W)
+    flat_idx = (j0 * W + i0).ravel()
+    gathered = jnp.take(Gf, flat_idx, axis=1)                # [M*4, n_idx]
+    gathered = gathered.reshape((M, 4) + out_shape)
 
     w00 = (1.0 - fj) * (1.0 - fi)
     w01 = (1.0 - fj) * fi

@@ -54,6 +54,57 @@ def hyperdiffuse(F: jax.Array, k4, dt: float, n_substeps: int,
     return out
 
 
+def hyperdiffuse_multi(F: jax.Array, k4_stack, dt: float, n_substeps: int,
+                       dlat: float, dlon: float, coslat: jax.Array,
+                       a: float) -> jax.Array:
+    """Hyperdiffusion of stacked fields [M, H, W] in one pass.
+
+    ``k4_stack`` broadcasts against [M, H, W] (per-field scalars as [M,1,1] or
+    shared 2-D maps as [1,H,W]). The Laplacian stencil is identical for every
+    field, so batching turns M×(two Laplacians) into one [M,H,W] vector pass —
+    the same index-sharing economics as advect_semilag_multi.
+    """
+    n = max(1, int(n_substeps))
+    sub_dt = dt / n
+    cos = coslat[None]
+    out = F
+    for _ in range(n):
+        L = _laplacian_sphere_batched(out, dlat, dlon, cos, a)
+        L2 = _laplacian_sphere_batched(L, dlat, dlon, cos, a)
+        out = out - k4_stack * L2 * sub_dt
+    return out
+
+
+def _laplacian_sphere_batched(F: jax.Array, dlat: float, dlon: float,
+                              cos3, a: float) -> jax.Array:
+    """laplacian_sphere over a leading batch axis ([M,H,W]); cos3 is [1,H,W]."""
+    dF_dphi = _grad_axis_np(F, dlat, axis=1)
+    term_phi = _grad_axis_np(cos3 * dF_dphi, dlat, axis=1) / cos3
+    d2 = (jnp.roll(F, -1, axis=2) - 2.0 * F + jnp.roll(F, 1, axis=2)) / (dlon * dlon)
+    return (term_phi + d2 / (cos3 * cos3)) / (a * a)
+
+
+def _grad_axis_np(F: jax.Array, d: float, axis: int) -> jax.Array:
+    """np.gradient along ``axis``: central interior, one-sided edges."""
+    n = F.shape[axis]
+    sl = lambda s, e: jax.lax.slice_in_dim(F, s, e, axis=axis)
+    interior = (sl(2, n) - sl(0, n - 2)) / (2.0 * d)
+    first = (sl(1, 2) - sl(0, 1)) / d
+    last = (sl(n - 1, n) - sl(n - 2, n - 1)) / d
+    return jnp.concatenate([first, interior, last], axis=axis)
+
+
+def shapiro_filter_multi(F: jax.Array, n: int = 2) -> jax.Array:
+    """Shapiro 1-2-1 over stacked fields [M, H, W] (lon wrap, lat nearest)."""
+    out = F
+    for _ in range(max(1, int(n))):
+        out = 0.25 * jnp.roll(out, 1, axis=2) + 0.5 * out + 0.25 * jnp.roll(out, -1, axis=2)
+        up = jnp.concatenate([out[:, :1], out[:, :-1]], axis=1)
+        dn = jnp.concatenate([out[:, 1:], out[:, -1:]], axis=1)
+        out = 0.25 * up + 0.5 * out + 0.25 * dn
+    return out
+
+
 def _conv1d_lon_121(F: jax.Array) -> jax.Array:
     """[0.25, 0.5, 0.25] along longitude with periodic wrap."""
     return 0.25 * jnp.roll(F, 1, axis=1) + 0.5 * F + 0.25 * jnp.roll(F, -1, axis=1)
