@@ -2,11 +2,14 @@
 
 The reference routes accumulated runoff mass *sequentially* along a
 topological ``flow_order`` in a Python loop (/root/reference/pygcm/routing.py:261-298).
-On TPU that loop becomes a ``lax.fori_loop`` over topological *levels*
-(longest-path depth, precomputed offline): at level ℓ every cell of that
-level has already received all upstream mass, so the whole level routes as one
-masked scatter-add. Lake pass-through (routing.py:269-287) is folded into a
-per-cell effective downstream index computed once at build time.
+On TPU that loop becomes a pass over topological *levels* (longest-path depth,
+precomputed offline): at level ℓ every cell of that level has already received
+all upstream mass, so the whole level routes at once. Because the level
+boundaries inside the level-sorted cell list are *static*, each level is a
+statically-sliced compact segment — the event costs two gathers/scatters over
+the ~n_land cells total instead of n_levels full-grid scatter passes. Lake
+pass-through (routing.py:269-287) is folded into a per-cell effective
+downstream index computed once at build time.
 
 Mass conventions match the reference exactly: buffers in kg, fluxes in
 kg m⁻² s⁻¹, flow_accum in kg/s over the event window.
@@ -35,6 +38,7 @@ class RoutingStatic:
     """Precompiled network (flat row-major arrays of length n_cells)."""
     n_levels: int = dataclasses.field(metadata=dict(static=True))
     n_lakes: int = dataclasses.field(metadata=dict(static=True))
+    level_starts: tuple = dataclasses.field(metadata=dict(static=True))
     land_flat: jax.Array        # bool
     level: jax.Array            # int32, −1 for ocean
     eff_down: jax.Array         # int32: downstream idx, OCEAN or STORE
@@ -42,6 +46,12 @@ class RoutingStatic:
     lake_mask_flat: jax.Array   # bool
     lake_area_frac: jax.Array   # (n_lakes,) area share of each lake
     cell_area_flat: jax.Array   # m^2
+    # level-sorted compaction (n_land entries)
+    order: jax.Array            # int32 cell indices sorted by level
+    dn_ordered: jax.Array       # int32 eff_down along `order` (clipped ≥ 0)
+    to_ocean_ordered: jax.Array  # bool along `order`
+    to_store_ordered: jax.Array  # bool along `order`
+    lake_slot_ordered: jax.Array  # int32 lake id − 1 (clipped) along `order`
 
 
 @jax.tree_util.register_dataclass
@@ -95,9 +105,24 @@ def build_routing_static(net: dict, grid: Grid, dtype=jnp.float32) -> RoutingSta
     else:
         frac = np.zeros(1)
 
+    # level-sorted compaction: cells grouped by level with static boundaries
+    land_idx = np.nonzero(land)[0]
+    lvl_land = level[land_idx]
+    sort = np.argsort(lvl_land, kind="stable")
+    order = land_idx[sort].astype(np.int32)
+    lvl_sorted = lvl_land[sort]
+    n_levels = int(net["n_levels"])
+    starts = tuple(int(x) for x in np.searchsorted(lvl_sorted,
+                                                   np.arange(n_levels + 1)))
+    dn_ordered = eff[order]
+    to_ocean_ordered = dn_ordered == OCEAN
+    to_store_ordered = dn_ordered == STORE
+    lake_slot_ordered = np.clip(lake_id[order] - 1, 0, max(n_lakes, 1) - 1)
+
     return RoutingStatic(
-        n_levels=int(net["n_levels"]),
+        n_levels=n_levels,
         n_lakes=max(n_lakes, 0),
+        level_starts=starts,
         land_flat=jnp.asarray(land),
         level=jnp.asarray(level),
         eff_down=jnp.asarray(eff.astype(np.int32)),
@@ -105,6 +130,11 @@ def build_routing_static(net: dict, grid: Grid, dtype=jnp.float32) -> RoutingSta
         lake_mask_flat=jnp.asarray(lake_mask),
         lake_area_frac=jnp.asarray(frac, dtype),
         cell_area_flat=jnp.asarray(cell_area, dtype),
+        order=jnp.asarray(order),
+        dn_ordered=jnp.asarray(np.clip(dn_ordered, 0, n_cells - 1).astype(np.int32)),
+        to_ocean_ordered=jnp.asarray(to_ocean_ordered),
+        to_store_ordered=jnp.asarray(to_store_ordered),
+        lake_slot_ordered=jnp.asarray(lake_slot_ordered.astype(np.int32)),
     )
 
 
@@ -122,30 +152,30 @@ def init_routing_state(static: RoutingStatic, dtype=jnp.float32) -> RoutingState
 
 
 def _route_event(rs: RoutingStatic, acc: jax.Array, lake_volume: jax.Array):
-    """Route accumulated mass along levels. Returns
+    """Route accumulated mass level by level over statically-sliced compact
+    segments of the level-sorted land-cell list. Returns
     (flow_accum_kg, ocean_out_kg, lake_volume', residual_kg)."""
-    n = acc.shape[0]
-    to_ocean = rs.eff_down == OCEAN
-    to_store = rs.eff_down == STORE
-    dn_safe = jnp.clip(rs.eff_down, 0, n - 1)
-
-    def body(l, carry):
-        acc, flow_accum, ocean_out, lake_vol = carry
-        at_level = rs.level == l
-        m = jnp.where(at_level, acc, 0.0)
-        flow_accum = flow_accum + m
+    flow_accum = jnp.zeros_like(acc)
+    ocean_out = jnp.asarray(0.0, acc.dtype)
+    lake_vol = lake_volume
+    starts = rs.level_starts
+    for l in range(rs.n_levels):
+        s, e = starts[l], starts[l + 1]
+        if e <= s:
+            continue
+        idx = jax.lax.slice_in_dim(rs.order, s, e)
+        dn = jax.lax.slice_in_dim(rs.dn_ordered, s, e)
+        to_ocean = jax.lax.slice_in_dim(rs.to_ocean_ordered, s, e)
+        to_store = jax.lax.slice_in_dim(rs.to_store_ordered, s, e)
+        m = jnp.take(acc, idx)
+        # each cell is processed exactly once → set, not add
+        flow_accum = flow_accum.at[idx].set(m)
         ocean_out = ocean_out + jnp.sum(jnp.where(to_ocean, m, 0.0))
         if rs.n_lakes > 0:
-            store_m = jnp.where(to_store, m, 0.0)
-            lake_vol = lake_vol.at[jnp.clip(rs.lake_id_flat - 1, 0, lake_vol.shape[0] - 1)].add(
-                jnp.where(to_store, store_m, 0.0))
-        fwd = jnp.where(at_level & (rs.eff_down >= 0), m, 0.0)
-        acc = acc - m + jnp.zeros_like(acc).at[dn_safe].add(fwd)
-        return acc, flow_accum, ocean_out, lake_vol
-
-    init = (acc, jnp.zeros_like(acc), jnp.asarray(0.0, acc.dtype), lake_volume)
-    acc, flow_accum, ocean_out, lake_vol = jax.lax.fori_loop(
-        0, rs.n_levels, body, init)
+            slot = jax.lax.slice_in_dim(rs.lake_slot_ordered, s, e)
+            lake_vol = lake_vol.at[slot].add(jnp.where(to_store, m, 0.0))
+        fwd = jnp.where(to_ocean | to_store, 0.0, m)
+        acc = acc.at[idx].set(0.0).at[dn].add(fwd)
     residual = jnp.sum(acc)
     return flow_accum, ocean_out, lake_vol, residual
 
