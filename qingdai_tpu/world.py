@@ -270,6 +270,11 @@ class QingdaiWorld:
             print(f"[Autosave] Save failed: {e}")
 
     # -------------------------------------------------------------------- run
+    def step(self):
+        """Advance one physics step (P020 façade parity). Prefer step_chunk /
+        run for throughput — this syncs the host every step."""
+        return self.step_chunk(1)
+
     def step_chunk(self, n_steps: Optional[int] = None):
         """Advance n_steps inside one jitted scan; returns stacked diags."""
         n = n_steps or self.cfg.run.chunk_steps

@@ -1,0 +1,106 @@
+"""World façade + restart/autosave roundtrips + multichip sharding."""
+
+import os
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+
+@pytest.fixture
+def tiny_env(tmp_path, monkeypatch):
+    monkeypatch.chdir(tmp_path)
+    monkeypatch.setenv("QD_N_LAT", "13")
+    monkeypatch.setenv("QD_N_LON", "24")
+    monkeypatch.setenv("QD_CHUNK_STEPS", "4")
+    monkeypatch.setenv("QD_ECO_NS", "3")
+    monkeypatch.setenv("QD_PHYTO_NSPECIES", "3")
+    monkeypatch.setenv("QD_ECO_INDIV_PER_CELL", "10")
+    return tmp_path
+
+
+def test_world_create_run_autosave_reload(tiny_env):
+    from qingdai_tpu.world import QingdaiWorld
+    w = QingdaiWorld.create_default()
+    w.verbose = False
+    diags = w.step_chunk(4)
+    assert np.isfinite(np.asarray(diags["Ts_mean"])).all()
+    t_after = w.t_seconds
+    w.autosave()
+    for f in ("atmosphere.nc", "ocean.nc", "ecology.nc", "genes.json",
+              "plankton.json", "plankton.nc", "topography.nc"):
+        assert os.path.exists(os.path.join("data", f)), f
+
+    # a fresh world resumes from the autosave, preserving the epoch and fields
+    w2 = QingdaiWorld.create_default()
+    assert abs(w2.t0_seconds - t_after) < 1.0
+    np.testing.assert_allclose(np.asarray(w2.state.atmos.T_s),
+                               np.asarray(w.state.atmos.T_s), atol=1e-3)
+    np.testing.assert_allclose(np.asarray(w2.state.ocean.sst),
+                               np.asarray(w.state.ocean.sst), atol=1e-3)
+    np.testing.assert_allclose(np.asarray(w2.state.land.W_land),
+                               np.asarray(w.state.land.W_land), atol=1e-3)
+
+
+def test_world_single_step_facade(tiny_env):
+    from qingdai_tpu.world import QingdaiWorld
+    w = QingdaiWorld.create_default()
+    w.verbose = False
+    t0 = w.t_seconds
+    w.step()
+    assert w.t_seconds == t0 + w.model.dt
+
+
+def test_restart_file_schema(tiny_env):
+    """Restart variables match the reference's atmosphere.nc layout
+    (run_simulation.py:63-124)."""
+    from qingdai_tpu.world import QingdaiWorld
+    from qingdai_tpu.io.ncdataset import Dataset
+    w = QingdaiWorld.create_default()
+    w.verbose = False
+    w.autosave()
+    with Dataset(os.path.join("data", "atmosphere.nc"), "r") as ds:
+        for name in ["lat", "lon", "u", "v", "h", "T_s", "cloud_cover", "q",
+                     "h_ice", "uo", "vo", "eta", "Ts", "W_land", "S_snow",
+                     "C_snow", "land_mask", "t_seconds"]:
+            assert name in ds.variables, name
+
+
+def test_multichip_dryrun_8_devices(tiny_env):
+    assert len(jax.devices()) >= 8  # conftest forces 8 virtual CPU devices
+    import sys
+    sys.path.insert(0, "/root/repo")
+    from __graft_entry__ import dryrun_multichip
+    dryrun_multichip(8)
+
+
+def test_sharded_chunk_matches_unsharded(tiny_env):
+    """One scan chunk gives identical results sharded vs single-device."""
+    import numpy as np
+    from qingdai_tpu.config import SimConfig
+    from qingdai_tpu import model as M, topography as topo
+    from qingdai_tpu.parallel import mesh as pmesh
+
+    cfg = SimConfig.from_env()
+    n_lat, n_lon = cfg.run.n_lat, cfg.run.n_lon
+    lat = np.linspace(-90, 90, n_lat)
+    lon = np.linspace(0, 360, n_lon)
+    lon_m, lat_m = np.meshgrid(lon, lat)
+    mask, elev = topo.create_land_sea_mask(lat_m, lon_m, seed=42)
+    alb, fric = topo.generate_base_properties(mask, elev, lat_m)
+    mdl = M.build_model(cfg, mask, alb, fric, elevation=elev)
+    st = M.init_world(mdl)
+    chunk = jax.jit(M.make_chunk_fn(mdl, 3))
+    ref_state, ref_diags = chunk(st)
+
+    m = pmesh.make_mesh(8)
+    mdl_s = pmesh.shard_model_statics(mdl, m)
+    st_s = pmesh.shard_state(M.init_world(mdl_s), m, n_lon)
+    chunk_s = jax.jit(M.make_chunk_fn(mdl_s, 3))
+    out_state, out_diags = chunk_s(st_s)
+    np.testing.assert_allclose(np.asarray(out_state.atmos.T_s),
+                               np.asarray(ref_state.atmos.T_s),
+                               rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(float(out_diags["Ts_mean"][-1]),
+                               float(ref_diags["Ts_mean"][-1]), rtol=1e-5)
