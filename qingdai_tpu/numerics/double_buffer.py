@@ -70,7 +70,8 @@ class DoubleBufferingArray:
         return self._read[key]
 
     def __setitem__(self, key, value):
-        if isinstance(value, np.ndarray) and value.base is self._write:
+        if isinstance(value, np.ndarray) and (value is self._write
+                                              or value.base is self._write):
             raise ValueError("self-aliasing write: value reads this buffer's write side")
         self._write[key] = value
 

@@ -17,6 +17,7 @@ import os
 import signal
 import sys
 import time
+from concurrent.futures import ThreadPoolExecutor
 from typing import Optional
 
 import jax
@@ -43,6 +44,12 @@ class QingdaiWorld:
         self._chunk_fn = None
         self._hydro_prev = None  # (time_s, total_reservoir_mean)
         self._autosave_registered = False
+        # single IO worker: NetCDF writes and rendering run off the chunk
+        # loop's critical path (the reference blocks its loop on both;
+        # SURVEY.md §5.5 "rendering moved off the critical path")
+        self._io_pool = ThreadPoolExecutor(max_workers=1,
+                                           thread_name_prefix="qd-io")
+        self._io_futures = []
 
     # ------------------------------------------------------------------ build
     def _log(self, msg):
@@ -203,26 +210,52 @@ class QingdaiWorld:
         self._log(f"[Ecology] Genes autosave loaded: Ns={len(genes_list)}")
 
     # --------------------------------------------------------------- autosave
+    def autosave_async(self):
+        """Snapshot the device state and write the autosave set on the IO
+        worker thread (never blocks the scan loop)."""
+        snapshot = jax.device_get(self.state)
+        t_sec = self.t_seconds
+        self._io_futures = [f for f in self._io_futures if not f.done()]
+        self._io_futures.append(
+            self._io_pool.submit(self._write_autosave, snapshot, t_sec))
+
+    def flush_io(self):
+        for f in list(self._io_futures):
+            try:
+                f.result()
+            except Exception as e:
+                print(f"[Autosave] async IO failed: {e}")
+        self._io_futures = []
+
     def autosave(self):
-        """Write the full autosave set (run_simulation.py:1669-1687)."""
+        """Synchronous autosave (signal handlers, end of run)."""
+        self._write_autosave(jax.device_get(self.state), self.t_seconds)
+
+    def _write_autosave(self, state, t_seconds):
+        """Write the full autosave set from a host snapshot
+        (run_simulation.py:1669-1687)."""
         cfg = self.cfg
-        day_value = self.t_seconds / self.day_seconds
+        day_value = t_seconds / self.day_seconds
         try:
             ncio.save_restart(os.path.join("data", "atmosphere.nc"),
-                              self.lat, self.lon, jax.device_get(self.state),
-                              self.land_mask, t_seconds=self.t_seconds)
+                              self.lat, self.lon, state,
+                              self.land_mask, t_seconds=t_seconds)
             self._log("[Autosave] Core state saved to 'data/atmosphere.nc'")
         except OSError as e:
             self._log(f"[Autosave] NetCDF save failed: {e}")
         if cfg.ocean.enabled:
             ncio.save_ocean(os.path.join("data", "ocean.nc"), self.lat, self.lon,
-                            jax.device_get(self.state.ocean), day_value)
-        if self.state.eco is not None:
+                            state.ocean, day_value)
+        self._write_autosave_eco_phyto(state, day_value)
+
+    def _write_autosave_eco_phyto(self, state, day_value):
+        cfg = self.cfg
+        if state.eco is not None:
             from .ecology import spectral as smod
             from .ecology import genes as gmod
             bands = smod.make_bands(cfg.ecology)
             w_b = smod.band_weights(bands, cfg.ecology)
-            eco_host = jax.device_get(self.state.eco)
+            eco_host = state.eco
             path = os.getenv("QD_ECO_AUTOSAVE_PATH") or os.path.join("data", "ecology.nc")
             ncio.save_ecology(path, self.lat, self.lon, eco_host, bands, w_b,
                               day_value=day_value)
@@ -235,15 +268,14 @@ class QingdaiWorld:
                                  bands, w_b,
                                  species_weights=np.asarray(eco_host.species_weights)[:n_act],
                                  day_value=day_value)
-        if self.state.phyto is not None:
+        if state.phyto is not None:
             from .ecology import spectral as smod
             bands = smod.make_bands(cfg.ecology)
             ncio.save_plankton_bio_json(os.path.join("data", "plankton.json"),
                                         self.model.phyto_static, cfg.phyto,
                                         bands, day_value)
             ncio.save_plankton_nc(os.path.join("data", "plankton.nc"),
-                                  self.lat, self.lon,
-                                  jax.device_get(self.state.phyto),
+                                  self.lat, self.lon, state.phyto,
                                   self.model.phyto_static, bands, day_value)
 
     def _register_autosave_hooks(self):
@@ -361,13 +393,17 @@ class QingdaiWorld:
             self._print_diags(diags, done)
             done += n
             if cfg.run.autosave_enable and self.t_seconds >= next_autosave:
-                self._safe_autosave()
+                try:
+                    self.autosave_async()
+                except Exception as e:
+                    print(f"[Autosave] async dispatch failed: {e}")
                 next_autosave += autosave_every_s
             if done % (chunk * 10) == 0 or done >= total_steps:
                 elapsed = time.time() - t_wall0
                 sy_h = (done * dt / T_PLANET) / max(elapsed / 3600.0, 1e-9)
                 self._log(f"t={self.t_seconds / self.day_seconds:.1f}d | "
                           f"{done}/{total_steps} steps | {sy_h:.1f} sim-years/hour")
+        self.flush_io()
         if cfg.run.restart_out:
             ncio.save_restart(cfg.run.restart_out, self.lat, self.lon,
                               jax.device_get(self.state), self.land_mask,
@@ -375,9 +411,21 @@ class QingdaiWorld:
             self._log(f"[Restart] Saved final state to '{cfg.run.restart_out}'.")
 
     def _plots(self):
+        """Render panels from a host snapshot on the IO worker."""
         try:
+            from types import SimpleNamespace
             from .viz import plots as viz
-            viz.plot_all(self, self.t_seconds / self.day_seconds, "output")
+            snap = SimpleNamespace(
+                state=jax.device_get(self.state), cfg=self.cfg,
+                model=self.model, land_mask=self.land_mask,
+                elevation=self.elevation, lat=self.lat, lon=self.lon)
+            t_days = self.t_seconds / self.day_seconds
+
+            def render():
+                viz.plot_all(snap, t_days, "output")
+
+            self._io_futures = [f for f in self._io_futures if not f.done()]
+            self._io_futures.append(self._io_pool.submit(render))
         except Exception as e:  # plots must never kill the run
             self._log(f"[Viz] skipped: {e}")
 
