@@ -88,9 +88,11 @@ def build_individuals(grid_shape, land_mask, es: EcoStatic, eco: EcoState,
 
 def indiv_try_substep(ist: IndivStatic, st: IndivState, es: EcoStatic,
                       cfg: EcologyConfig, isr_A, isr_B, soil_idx,
-                      dt: float, day_length_seconds: float) -> IndivState:
+                      dt: float, day_length_seconds: float,
+                      glacier_mask=None) -> IndivState:
     """Accumulate banded energy + water stress at substep cadence
-    (individuals.py:142-191)."""
+    (individuals.py:142-191). ``glacier_mask`` excludes glaciated sampled
+    cells, mirroring the driver's set_active_mask (run_simulation.py:2034-2045)."""
     period = float(day_length_seconds) / float(cfg.indiv_substeps_per_day)
     accum = st.substep_accum + dt
 
@@ -99,6 +101,9 @@ def indiv_try_substep(ist: IndivStatic, st: IndivState, es: EcoStatic,
         I_b_cells = I_b[:, ist.sample_j, ist.sample_i].T  # [C, NB]
         I_b_indiv = I_b_cells[ist.cell_index, :]          # [N, NB]
         dE = jnp.sum(st.Ab * I_b_indiv, axis=1) * period
+        if glacier_mask is not None:
+            gl_cells = glacier_mask[ist.sample_j, ist.sample_i]
+            dE = jnp.where(gl_cells[ist.cell_index], 0.0, dE)
         E_day = st.E_day + jnp.maximum(0.0, dE)
         soil_cells = soil_idx[ist.sample_j, ist.sample_i]
         soil_indiv = soil_cells[ist.cell_index]

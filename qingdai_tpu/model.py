@@ -308,7 +308,7 @@ def make_step_fn(model: Model):
         if indiv_on:
             indiv_state = indiv_mod.indiv_try_substep(
                 model.indiv_static, indiv_state, model.eco_static, cfg.ecology,
-                insA, insB, soil_idx, dt, day_s)
+                insA, insB, soil_idx, dt, day_s, glacier_mask=glacier)
 
         # ---- phyto daily (:2052-2061) ----
         phyto_state = state.phyto
@@ -513,6 +513,22 @@ def make_step_fn(model: Model):
             "v_max": jnp.max(jnp.abs(atmos.v)),
             "Qnet_mean": area_mean(Q_net, grid.area_w, mask=ocean_mask),
         }
+        # sea-ice diagnostics ([SeaIce] area/thickness, dynamics.py:417-426)
+        ice_mask_d = (atmos.h_ice > 0.0) & ocean_mask
+        diag["seaice_area_frac"] = area_mean(
+            ice_mask_d.astype(atmos.T_s.dtype), grid.area_w)
+        diag["seaice_mean_h"] = (jnp.sum(jnp.where(ice_mask_d, atmos.h_ice, 0.0))
+                                 / jnp.maximum(jnp.sum(ice_mask_d), 1))
+        if eco_on:
+            lai_tot = jnp.sum(eco_state.LAI_SK, axis=(0, 1))
+            land_cnt = jnp.maximum(jnp.sum(land), 1)
+            diag["lai_mean"] = jnp.sum(jnp.where(land, lai_tot, 0.0)) / land_cnt
+            diag["lai_max"] = jnp.max(jnp.where(land, lai_tot, 0.0))
+        if phyto_on:
+            chl_tot = jnp.sum(phyto_state.C_phyto, axis=0)
+            diag["chl_mean"] = area_mean(chl_tot, grid.area_w)
+            diag["kd490_mean"] = area_mean(phyto_state.Kd_490, grid.area_w)
+            diag["alpha_water_mean"] = area_mean(alpha_water, grid.area_w)
         if ocean_on:
             od = ocean_diagnostics(grid, cfg.ocean, ocn)
             diag.update({"ocean_KE_mean": od["KE_mean"],

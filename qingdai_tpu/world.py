@@ -320,12 +320,13 @@ class QingdaiWorld:
     def _print_diags(self, diags, step0: int):
         """Reference-tagged diagnostics at ~200-step cadence from the stacked
         per-step scalars (SURVEY.md §5.5)."""
-        n = len(np.asarray(diags["Ts_mean"]))
+        diags = jax.device_get(diags)  # one transfer for the whole chunk
+        n = len(diags["Ts_mean"])
         for i in range(n):
             gstep = step0 + i
             if gstep % 200 != 0:
                 continue
-            d = {k: float(np.asarray(v)[i]) for k, v in diags.items()}
+            d = {k: float(v[i]) for k, v in diags.items()}
             print(f"[EnergyDiag] TOA_net={d['TOA_net']:.2f} W/m^2 | "
                   f"SFC_net={d['SFC_net']:.2f} | ATM_net={d['ATM_net']:.2f} | "
                   f"<Ts>={d['Ts_mean']:.2f} K")
@@ -346,6 +347,16 @@ class QingdaiWorld:
                     msg += (f" | d/dt Σ={ddt:.3e} vs (E−P−R) -> residual={resid:.3e}")
             self._hydro_prev = (t_now, d["total_reservoir_mean"])
             print(msg)
+            if "seaice_area_frac" in d:
+                print(f"[SeaIce] area={d['seaice_area_frac']:.3f}, "
+                      f"mean_h={d['seaice_mean_h']:.2f} m")
+            if "lai_mean" in d:
+                print(f"[Ecology] LAI(mean/max)={d['lai_mean']:.2f}/"
+                      f"{d['lai_max']:.2f}")
+            if "chl_mean" in d:
+                print(f"[PhytoDiag] ⟨Chl_tot⟩={d['chl_mean']:.3f} mg/m^3 | "
+                      f"⟨Kd490⟩={d['kd490_mean']:.3f} m^-1 | "
+                      f"⟨α_water⟩={d['alpha_water_mean']:.3f}")
             if "ocean_KE_mean" in d:
                 print(f"[OceanDiag] KE_mean={d['ocean_KE_mean']:.3e} m2/s2 | "
                       f"Umax={d['ocean_U_max']:.2f} m/s")
@@ -375,6 +386,7 @@ class QingdaiWorld:
 
         autosave_every_s = cfg.run.autosave_every_hours * (self.day_seconds / 24.0)
         next_autosave = self.t_seconds + autosave_every_s
+        diversity_next_day = self.t_seconds / self.day_seconds
         plot_every_s = cfg.run.plot_every_days * 24 * 3600.0
         next_plot = self.t_seconds  # plot at start like the reference (i==0)
 
@@ -392,6 +404,19 @@ class QingdaiWorld:
             diags = self.step_chunk(n)
             self._print_diags(diags, done)
             done += n
+            if (cfg.ecology.diversity_enable and self.state.eco is not None
+                    and self.t_seconds / self.day_seconds >= diversity_next_day):
+                try:
+                    from .ecology import diversity as div
+                    lat_mesh = np.tile(self.lat[:, None], (1, len(self.lon)))
+                    eco_snap = jax.device_get(self.state.eco)
+                    t_days = self.t_seconds / self.day_seconds
+                    self._io_futures.append(self._io_pool.submit(
+                        div.compute_and_plot, self.lat, self.lon, lat_mesh,
+                        eco_snap, self.land_mask, t_days, "output"))
+                except Exception as e:
+                    self._log(f"[Diversity] diagnostics skipped: {e}")
+                diversity_next_day += cfg.ecology.diversity_every_days
             if cfg.run.autosave_enable and self.t_seconds >= next_autosave:
                 try:
                     self.autosave_async()
