@@ -28,10 +28,15 @@ from .state import AtmosState, EnergyState, StaticFields
 
 
 def _every(step_idx, n: int):
-    """Traced predicate for 'every n steps' cadences (step_idx % n == 0)."""
+    """Traced predicate for the reference's 'every n steps' filter cadence.
+
+    The reference increments its step counter before the filter checks
+    (dynamics.py:451), so with a zero-based global step index the check is
+    (step_idx + 1) % n == 0 — Shapiro first fires on the 6th step, not the 0th.
+    """
     if n <= 0:
         return jnp.asarray(False)
-    return (step_idx % n) == 0
+    return ((step_idx + 1) % n) == 0
 
 
 def atmos_step(grid: Grid, cfg: SimConfig, static: StaticFields,

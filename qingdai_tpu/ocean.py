@@ -135,9 +135,11 @@ def ocean_step(grid: Grid, cfg: OceanConfig, land_mask,
     k4_v = cfg.k4_v if cfg.k4_v is not None else k4_map
     k4_eta = cfg.k4_eta if cfg.k4_eta is not None else 0.5 * k4_map
 
-    apply_diff = (cfg.diff_every > 0) & ((step_idx % max(1, cfg.diff_every)) == 0)
+    # the reference increments its internal counter at the start of step()
+    # (ocean.py:281), so the cadence is on step_idx + 1
+    apply_diff = (cfg.diff_every > 0) & (((step_idx + 1) % max(1, cfg.diff_every)) == 0)
     apply_shap = ((cfg.shapiro_n > 0) and (cfg.shapiro_every > 0))
-    shap_pred = (step_idx % max(1, cfg.shapiro_every)) == 0 if apply_shap else None
+    shap_pred = ((step_idx + 1) % max(1, cfg.shapiro_every)) == 0 if apply_shap else None
 
     if tracers is not None and n_sub != 1:
         raise ValueError("shared-gather tracers require n_sub == 1")

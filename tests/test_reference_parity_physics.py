@@ -1,0 +1,246 @@
+"""Parity vs the reference's physics/hydrology/humidity parameterizations and
+the sequential routing engine, with identical inputs in float64."""
+
+import os
+import sys
+import types
+
+import numpy as np
+import pytest
+
+REF = "/root/reference"
+
+
+@pytest.fixture(scope="module")
+def ref_path():
+    if not os.path.isdir(REF):
+        pytest.skip("reference tree not available")
+    os.environ["QD_USE_JAX"] = "0"
+    sys.path.insert(0, REF)
+    yield
+    sys.path.remove(REF)
+
+
+@pytest.fixture
+def world(rng):
+    from pygcm.grid import SphericalGrid
+    H, W = 24, 48
+    grid = SphericalGrid(n_lat=H, n_lon=W)
+    land = (rng.random((H, W)) < 0.3).astype(int)
+    u = 10 * rng.standard_normal((H, W))
+    v = 10 * rng.standard_normal((H, W))
+    Ts = 288 + 10 * rng.standard_normal((H, W))
+    cloud = rng.uniform(0, 1, (H, W))
+    return grid, land, u, v, Ts, cloud
+
+
+def test_cloud_and_albedo_parity(ref_path, world, rng):
+    import jax.numpy as jnp
+    from pygcm import physics as ref_ph
+    from qingdai_tpu.grid import make_grid
+    from qingdai_tpu.physics import clouds as ph
+
+    grid_r, land, u, v, Ts, cloud = world
+    g = make_grid(grid_r.n_lat, grid_r.n_lon, dtype=jnp.float64)
+
+    # cloud_from_precip
+    precip = np.abs(rng.standard_normal(Ts.shape)) * 1e-5
+    a = ref_ph.cloud_from_precip(precip, C_max=0.95, P_ref=2e-5, smooth_sigma=1.0)
+    b = np.asarray(ph.cloud_from_precip(jnp.asarray(precip), 0.95, 2e-5, 1.0))
+    np.testing.assert_allclose(b, a, rtol=1e-6, atol=1e-9)
+
+    # parameterize_cloud_cover (needs a gcm-like object)
+    gcm = types.SimpleNamespace(T_s=Ts, u=u, v=v)
+    a = ref_ph.parameterize_cloud_cover(gcm, grid_r, land)
+    b = np.asarray(ph.parameterize_cloud_cover(g, jnp.asarray(Ts),
+                                               jnp.asarray(u), jnp.asarray(v)))
+    np.testing.assert_allclose(b, a, rtol=1e-5, atol=1e-7)
+
+    # orographic factor
+    elev = 1000 * np.abs(rng.standard_normal(Ts.shape))
+    a = ref_ph.compute_orographic_factor(grid_r, elev, u, v, k_orog=7e-4)
+    b = np.asarray(ph.compute_orographic_factor(g, jnp.asarray(elev),
+                                                jnp.asarray(u), jnp.asarray(v)))
+    np.testing.assert_allclose(b, a, rtol=1e-6, atol=1e-8)
+
+    # dynamic albedo with h_ice-based fraction
+    h_ice = np.abs(rng.standard_normal(Ts.shape)) * 0.3
+    ice_frac = 1.0 - np.exp(-np.maximum(h_ice, 0.0) / 0.5)
+    a = ref_ph.calculate_dynamic_albedo(cloud, Ts, 0.15, 0.6, 0.5,
+                                        land_mask=land, ice_frac=ice_frac)
+    base = jnp.full(Ts.shape, 0.15, jnp.float64)
+    b = np.asarray(ph.calculate_dynamic_albedo(
+        jnp.asarray(cloud), jnp.asarray(Ts), base, 0.6, 0.5,
+        land_mask=jnp.asarray(land), ice_frac=jnp.asarray(ice_frac)))
+    np.testing.assert_allclose(b, a, rtol=1e-6, atol=1e-9)
+
+
+def test_hybrid_precip_parity(ref_path, world, rng):
+    import jax.numpy as jnp
+    from pygcm import physics as ref_ph
+    from qingdai_tpu.grid import make_grid
+    from qingdai_tpu.config import PhysicsConfig
+    from qingdai_tpu.physics import clouds as ph
+
+    grid_r, land, u, v, Ts, cloud = world
+    g = make_grid(grid_r.n_lat, grid_r.n_lon, dtype=jnp.float64)
+    P_cond = np.abs(rng.standard_normal(Ts.shape)) * 1e-5
+    gcm = types.SimpleNamespace(T_s=Ts, u=u, v=v, cloud_cover=cloud,
+                                P_cond_flux_last=P_cond)
+    a = ref_ph.diagnose_precipitation_hybrid(gcm, grid_r, D_crit=-1e-7,
+                                             k_precip=1e5, smooth_sigma=1.0,
+                                             beta_div=0.4, renorm=True)
+    cfg = PhysicsConfig()
+    b = np.asarray(ph.diagnose_precipitation_hybrid(
+        g, jnp.asarray(u), jnp.asarray(v), jnp.asarray(cloud),
+        jnp.asarray(P_cond), cfg, smooth_sigma=1.0))
+    np.testing.assert_allclose(b, a, rtol=1e-4, atol=1e-10)
+
+
+def test_hydrology_parity(ref_path, rng):
+    import jax.numpy as jnp
+    from pygcm import hydrology as ref_h
+    from qingdai_tpu.config import HydrologyConfig
+    from qingdai_tpu.physics import hydrology as hyd
+
+    shape = (16, 24)
+    params = ref_h.HydrologyParams()
+    cfg = HydrologyConfig()
+    P = np.abs(rng.standard_normal(shape)) * 1e-5
+    T_hat = 270 + 8 * rng.standard_normal(shape)
+    S = np.abs(rng.standard_normal(shape)) * 20
+
+    ra, sa, fa = ref_h.partition_precip_phase_smooth(P, T_hat)
+    rb, sb, fb = hyd.partition_precip_phase_smooth(jnp.asarray(P), jnp.asarray(T_hat))
+    np.testing.assert_allclose(np.asarray(rb), ra, rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(fb), fa, rtol=1e-6)
+
+    Sa, ma, Ca, aa = ref_h.snowpack_step(S, sa, T_hat, params, 300.0)
+    Sb, mb, Cb, ab = hyd.snowpack_step(jnp.asarray(S), sb, jnp.asarray(T_hat),
+                                       cfg, 300.0)
+    np.testing.assert_allclose(np.asarray(Sb), Sa, rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(mb), ma, rtol=1e-6, atol=1e-12)
+    np.testing.assert_allclose(np.asarray(Cb), Ca, rtol=1e-6)
+
+    W = np.abs(rng.standard_normal(shape)) * 50
+    E = np.abs(rng.standard_normal(shape)) * 1e-6
+    Wa, Ra = ref_h.update_land_bucket(W, ra, E, params, 300.0)
+    Wb, Rb = hyd.update_land_bucket(jnp.asarray(W), rb, jnp.asarray(E), cfg, 300.0)
+    np.testing.assert_allclose(np.asarray(Wb), Wa, rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(Rb), Ra, rtol=1e-6, atol=1e-15)
+
+
+def test_humidity_energy_parity(ref_path, rng):
+    import jax.numpy as jnp
+    from pygcm import humidity as ref_hum
+    from pygcm import energy as ref_en
+    from qingdai_tpu.config import EnergyConfig, HumidityConfig
+    from qingdai_tpu.physics import energy as en
+    from qingdai_tpu.physics import humidity as hum
+
+    shape = (16, 24)
+    Ts = 288 + 10 * rng.standard_normal(shape)
+    Ta = 285 + 10 * rng.standard_normal(shape)
+    q = np.abs(rng.standard_normal(shape)) * 0.005
+    u = 5 * rng.standard_normal(shape)
+    v = 5 * rng.standard_normal(shape)
+    cloud = rng.uniform(0, 1, shape)
+    land = (rng.random(shape) < 0.3).astype(int)
+    h_ice = np.where(rng.random(shape) < 0.2,
+                     np.abs(rng.standard_normal(shape)), 0.0)
+
+    hp = ref_hum.HumidityParams()
+    hcfg = HumidityConfig()
+    np.testing.assert_allclose(np.asarray(hum.q_sat(jnp.asarray(Ts))),
+                               ref_hum.q_sat(Ts), rtol=1e-8)
+    fa = ref_hum.surface_evaporation_factor(land, h_ice, hp)
+    fb = hum.surface_evaporation_factor(jnp.asarray(land), jnp.asarray(h_ice), hcfg)
+    np.testing.assert_allclose(np.asarray(fb), fa, rtol=1e-8)
+    Ea = ref_hum.evaporation_flux(Ts, q, u, v, fa, hp)
+    Eb = hum.evaporation_flux(jnp.asarray(Ts), jnp.asarray(q), jnp.asarray(u),
+                              jnp.asarray(v), fb, hcfg)
+    np.testing.assert_allclose(np.asarray(Eb), Ea, rtol=1e-8)
+    Pa, qa = ref_hum.condensation(q * 3, Ta, 300.0, hp)
+    Pb, qb = hum.condensation(jnp.asarray(q * 3), jnp.asarray(Ta), 300.0, hcfg)
+    np.testing.assert_allclose(np.asarray(Pb), Pa, rtol=1e-8, atol=1e-18)
+    np.testing.assert_allclose(np.asarray(qb), qa, rtol=1e-8)
+
+    ep = ref_en.EnergyParams()
+    ecfg = EnergyConfig(gh_factor=0.582)  # energy.py:127 in-module default
+    I = np.maximum(0, 800 * rng.random(shape))
+    SWa_a, SWs_a, Ra = ref_en.shortwave_radiation(I, 0.3, cloud, ep)
+    SWa_b, SWs_b, Rb = en.shortwave_radiation(jnp.asarray(I), 0.3,
+                                              jnp.asarray(cloud), ecfg)
+    np.testing.assert_allclose(np.asarray(SWs_b), SWs_a, rtol=1e-8)
+    ice_frac = 1.0 - np.exp(-np.maximum(h_ice, 0.0) / 0.5)
+    eps_a = ref_en.surface_emissivity_map(land, ice_frac)
+    eps_b = en.surface_emissivity_map(jnp.asarray(land), jnp.asarray(ice_frac), ecfg)
+    np.testing.assert_allclose(np.asarray(eps_b), eps_a, rtol=1e-8)
+    la, lsa, oa, da, _ = ref_en.longwave_radiation_v2(Ts, Ta, cloud, eps_a, ep)
+    lb, lsb, ob, db, _ = en.longwave_radiation_v2(jnp.asarray(Ts), jnp.asarray(Ta),
+                                                  jnp.asarray(cloud), eps_b, ecfg)
+    np.testing.assert_allclose(np.asarray(ob), oa, rtol=1e-7)
+    np.testing.assert_allclose(np.asarray(lsb), lsa, rtol=1e-6)
+    SHa, LHa = ref_en.boundary_layer_fluxes(Ts, Ta, u, v, land)
+    SHb, LHb = en.boundary_layer_fluxes(jnp.asarray(Ts), jnp.asarray(Ta),
+                                        jnp.asarray(u), jnp.asarray(v),
+                                        jnp.asarray(land), ecfg)
+    np.testing.assert_allclose(np.asarray(SHb), SHa, rtol=1e-7, atol=1e-8)
+
+    Tsn_a, hin_a = ref_en.integrate_surface_energy_with_seaice(
+        Ts, SWs_a, lsa, SHa, LHa, 300.0, land, h_ice, 2e8, 3e6, 5e6)
+    Tsn_b, hin_b = en.integrate_surface_energy_with_seaice(
+        jnp.asarray(Ts), SWs_b, lsb, SHb, LHb, 300.0, jnp.asarray(land),
+        jnp.asarray(h_ice), 2e8, 3e6, 5e6)
+    np.testing.assert_allclose(np.asarray(Tsn_b), Tsn_a, rtol=1e-8)
+    np.testing.assert_allclose(np.asarray(hin_b), hin_a, rtol=1e-7, atol=1e-12)
+
+
+def test_routing_engine_parity(ref_path, tmp_path, rng):
+    """The compact-segment router reproduces the reference's sequential
+    routing: same per-event flow accumulation, ocean inflow and closure."""
+    import jax.numpy as jnp
+    import pygcm.routing as ref_routing
+    from qingdai_tpu.io import ncdataset
+    from qingdai_tpu import hydro_network as hn, topography as topo
+    from qingdai_tpu.config import HydrologyConfig
+    from qingdai_tpu.grid import make_grid
+    from qingdai_tpu.routing import (build_routing_static, init_routing_state,
+                                     routing_step)
+
+    # reference routing imports netCDF4 lazily; patch in the h5py shim
+    ref_routing.Dataset = ncdataset.Dataset
+
+    H, W = 20, 40
+    lat = np.linspace(-90, 90, H)
+    lon = np.linspace(0, 360, W)
+    lon_m, lat_m = np.meshgrid(lon, lat)
+    land, elev = topo.create_land_sea_mask(lat_m, lon_m, seed=5)
+    net = hn.build_network(lat, lon, elev, land)
+    path = str(tmp_path / "net.nc")
+    hn.save_network_netcdf(path, net)
+
+    from pygcm.grid import SphericalGrid
+    ref_grid = SphericalGrid(n_lat=H, n_lon=W)
+    rr = ref_routing.RiverRouting(ref_grid, path, dt_hydro_hours=1.0, diag=False)
+
+    grid = make_grid(H, W, dtype=jnp.float64)
+    rs = build_routing_static(net, grid, jnp.float64)
+    cfg = HydrologyConfig(dt_hydro_hours=1.0)
+    st = init_routing_state(rs, jnp.float64)
+
+    R = np.where(land == 1, 1e-5 * (1 + rng.random((H, W))), 0.0)
+    zeros = np.zeros((H, W))
+    for _ in range(2):  # 2 × 1800 s → event fires on the 2nd call
+        rr.step(R_land_flux=R, dt_seconds=1800.0, precip_flux=zeros,
+                evap_flux=zeros)
+        st = routing_step(rs, st, cfg, jnp.asarray(R), 1800.0,
+                          jnp.asarray(zeros), jnp.asarray(zeros))
+
+    rd = rr.diagnostics()
+    np.testing.assert_allclose(float(st.ocean_inflow_kgps),
+                               rd["ocean_inflow_kgps"], rtol=1e-6)
+    fa_ref = np.asarray(rd["flow_accum_kgps"]).ravel()
+    fa_got = np.asarray(st.flow_accum_kgps)
+    # cell areas differ only by float precision
+    np.testing.assert_allclose(fa_got, fa_ref, rtol=1e-5, atol=1e-6)
