@@ -91,7 +91,9 @@ def test_dynamics_core_parity(ref_modules, monkeypatch):
         C_s_map=jnp.asarray(C_s_map, jnp.float64),
         has_elevation=False,
     )
-    f64 = lambda x: jnp.asarray(np.asarray(x, np.float64))
+    # jnp.asarray can alias the NumPy buffer zero-copy; the reference
+    # mutates its arrays in place, so always copy
+    f64 = lambda x: jnp.array(np.asarray(x, np.float64), copy=True)
     z = jnp.zeros((H, W), jnp.float64)
     atmos = AtmosState(
         u=f64(gcm.u), v=f64(gcm.v), h=f64(gcm.h), T_s=f64(gcm.T_s),
@@ -177,7 +179,9 @@ def test_ocean_step_parity(ref_modules, monkeypatch):
 
     cfg = SimConfig.from_env()
     grid = make_grid(H, W, dtype=jnp.float64)
-    f64 = lambda x: jnp.asarray(np.asarray(x, np.float64))
+    # jnp.asarray can alias the NumPy buffer zero-copy; the reference
+    # mutates its arrays in place, so always copy
+    f64 = lambda x: jnp.array(np.asarray(x, np.float64), copy=True)
     ocn = OceanState(uo=f64(ocean_ref.uo), vo=f64(ocean_ref.vo),
                      eta=f64(ocean_ref.eta), sst=f64(ocean_ref.Ts))
 
