@@ -41,7 +41,7 @@ def _every(step_idx, n: int):
 
 def atmos_step(grid: Grid, cfg: SimConfig, static: StaticFields,
                atmos: AtmosState, estate: EnergyState,
-               Teq, albedo, isr, step_idx, dt: float):
+               Teq, albedo, isr, step_idx, dt: float, adv_plan=None):
     """One atmosphere step. Returns (AtmosState, EnergyState-relevant fields dict).
 
     ``albedo`` engages the explicit energy branch (dynamics.py:326-449);
@@ -127,7 +127,8 @@ def atmos_step(grid: Grid, cfg: SimConfig, static: StaticFields,
     # batched into one shared-index gather
     adv_alpha = dcfg.adv_alpha
     cos_tiny = grid.coslat_cap_tiny
-    adv = advect_semilag_multi(jnp.stack([T_s, q]), u, v, dt, a, dlat, dlon, cos_tiny)
+    adv = advect_semilag_multi(jnp.stack([T_s, q]), u, v, dt, a, dlat, dlon,
+                               cos_tiny, plan=adv_plan)
     T_s = (1.0 - adv_alpha) * T_s + adv_alpha * adv[0]
     q = jnp.clip((1.0 - adv_alpha) * q + adv_alpha * adv[1], 0.0, 0.5)
 
@@ -241,7 +242,8 @@ def atmos_step(grid: Grid, cfg: SimConfig, static: StaticFields,
             _apply_spec, lambda ops: ops, (u, v, h))
 
     # Cloud advection + 2-day dissipation (dynamics.py:641-646)
-    cloud = advect_semilag(cloud, u, v, dt, a, dlat, dlon, cos_tiny)
+    cloud = advect_semilag_multi(cloud[None], u, v, dt, a, dlat, dlon,
+                                 cos_tiny, plan=adv_plan)[0]
     cloud = cloud * (1.0 - dt / (2.0 * 24 * 3600))
 
     # global mild diffusion and nan scrub (dynamics.py:648-667)

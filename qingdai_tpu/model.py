@@ -29,7 +29,7 @@ from .config import SimConfig
 from .dynamics import atmos_step
 from .grid import Grid, make_grid
 from .ocean import ocean_step, static_substeps, ocean_diagnostics
-from .ops.advect import advect_semilag
+from .ops.advect import advect_semilag, AdvectPlan, make_advect_plan
 from .ops.reductions import area_mean, masked_median_of_positive
 from .ops.smooth import gaussian_filter
 from .ops.control import cond_keep_dtypes
@@ -60,6 +60,8 @@ class Model:
     routing_static: Optional[RoutingStatic]
     n_ocean_substeps: int
     dt: float
+    adv_plan_atmos: Optional[AdvectPlan] = None
+    adv_plan_ocean: Optional[AdvectPlan] = None
     day_seconds: float = const.DAY_SECONDS
 
 
@@ -97,10 +99,20 @@ def build_model(cfg: SimConfig, land_mask, base_albedo, friction,
         routing_static = build_routing_static(network, grid, dtype)
 
     n_sub = static_substeps(grid, cfg.ocean, cfg.run.dt_seconds)
+    dt = float(cfg.run.dt_seconds)
+    # static windowed-advection plans from the hard velocity caps
+    plan_atmos = make_advect_plan(
+        cfg.run.n_lat, grid.dlat_rad, grid.dlon_rad, dt, const.PLANET_RADIUS,
+        np.asarray(grid.coslat_cap_tiny)[:, 0], vmax=cfg.dynamics.max_wind)
+    plan_ocean = make_advect_plan(
+        cfg.run.n_lat, grid.dlat_rad, grid.dlon_rad, dt / max(1, n_sub),
+        const.PLANET_RADIUS, np.asarray(grid.coslat_cap_05)[:, 0],
+        vmax=cfg.ocean.max_u_cap + 2.0)  # margin over the per-substep cap
     model = Model(grid=grid, cfg=cfg, static=static,
                   eco_static=eco_static, indiv_static=indiv_static,
                   phyto_static=phyto_static, routing_static=routing_static,
-                  n_ocean_substeps=n_sub, dt=float(cfg.run.dt_seconds))
+                  n_ocean_substeps=n_sub, dt=dt,
+                  adv_plan_atmos=plan_atmos, adv_plan_ocean=plan_ocean)
     return model
 
 
@@ -255,9 +267,11 @@ def make_step_fn(model: Model):
 
         # optional cloud advection (:1916-1939)
         if pcfg.cloud_advect:
-            cloud_adv = advect_semilag(cloud, atmos.u, atmos.v, dt,
-                                       const.PLANET_RADIUS, grid.dlat_rad,
-                                       grid.dlon_rad, grid.coslat_cap_tiny)
+            from .ops.advect import advect_semilag_multi
+            cloud_adv = advect_semilag_multi(cloud[None], atmos.u, atmos.v, dt,
+                                             const.PLANET_RADIUS, grid.dlat_rad,
+                                             grid.dlon_rad, grid.coslat_cap_tiny,
+                                             plan=model.adv_plan_atmos)[0]
             if pcfg.cloud_smooth_sigma > 0.0:
                 cloud_adv = gaussian_filter(cloud_adv, pcfg.cloud_smooth_sigma,
                                             mode_lat="wrap", mode_lon="wrap")
@@ -372,7 +386,8 @@ def make_step_fn(model: Model):
         # ---- 2d) Teq + 3) dynamics (:2191-2194) ----
         Teq = forcing.equilibrium_temp(isr, albedo)
         atmos, aux = atmos_step(grid, cfg, static, atmos, state.energy,
-                                Teq, albedo, isr, step_idx, dt)
+                                Teq, albedo, isr, step_idx, dt,
+                                adv_plan=model.adv_plan_atmos)
 
         # energy budget diagnostics (uses the step's own fluxes)
         ediag = en.energy_diagnostics(grid.area_w, isr, aux["R"], aux["OLR"],
@@ -426,7 +441,8 @@ def make_step_fn(model: Model):
                                           atmos.u, atmos.v, Q_net, ice_mask,
                                           step_idx, dt,
                                           model.n_ocean_substeps,
-                                          tracers=tracers)
+                                          tracers=tracers,
+                                          adv_plan=model.adv_plan_ocean)
             ocean_open = ocean_mask & (~ice_mask)
             atmos = dataclasses.replace(
                 atmos, T_s=jnp.where(ocean_open, ocn.sst, atmos.T_s))

@@ -96,7 +96,7 @@ def polar_vector_average_fill(u, v, ocean_mask, lons_rad):
 
 def ocean_step(grid: Grid, cfg: OceanConfig, land_mask,
                ocn: OceanState, u_atm, v_atm, Q_net, ice_mask,
-               step_idx, dt: float, n_sub: int, tracers=None):
+               step_idx, dt: float, n_sub: int, tracers=None, adv_plan=None):
     """Advance the slab ocean one outer step with ``n_sub`` static substeps.
 
     ``tracers`` ([T,H,W], optional, n_sub==1 only): extra fields advected in
@@ -195,11 +195,13 @@ def ocean_step(grid: Grid, cfg: OceanConfig, land_mask,
         # the departure-point gather
         if trc is not None:
             stacked = jnp.concatenate([sst[None], trc], axis=0)
-            adv = advect_semilag_multi(stacked, uo, vo, sub_dt, a, dlat, dlon, coslat)
+            adv = advect_semilag_multi(stacked, uo, vo, sub_dt, a, dlat, dlon,
+                                       coslat, plan=adv_plan)
             sst_adv = adv[0]
             trc = adv[1:]
         else:
-            sst_adv = advect_semilag(sst, uo, vo, sub_dt, a, dlat, dlon, coslat)
+            sst_adv = advect_semilag_multi(sst[None], uo, vo, sub_dt, a, dlat,
+                                           dlon, coslat, plan=adv_plan)[0]
         sst = (1.0 - cfg.adv_alpha) * sst + cfg.adv_alpha * sst_adv
         if cfg.K_h > 0.0:
             sst = sst + sub_dt * cfg.K_h * laplacian_sphere(sst, dlat, dlon, coslat, a)

