@@ -104,3 +104,19 @@ def test_sharded_chunk_matches_unsharded(tiny_env):
                                rtol=1e-5, atol=1e-5)
     np.testing.assert_allclose(float(out_diags["Ts_mean"][-1]),
                                float(ref_diags["Ts_mean"][-1]), rtol=1e-5)
+
+
+def test_orbax_checkpoint_roundtrip(tiny_env):
+    """Full-pytree fast-path checkpoint restores bit-identically."""
+    from qingdai_tpu.world import QingdaiWorld
+    from qingdai_tpu.io.checkpoint import save_checkpoint, load_checkpoint
+    w = QingdaiWorld.create_default()
+    w.verbose = False
+    w.step_chunk(2)
+    path = os.path.join(os.getcwd(), "ckpt")
+    save_checkpoint(path, w.state)
+    template = w.state
+    restored = load_checkpoint(path, template)
+    for a, b in zip(jax.tree_util.tree_leaves(template),
+                    jax.tree_util.tree_leaves(restored)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
