@@ -424,13 +424,18 @@ def _mutate(es: EcoStatic, state: EcoState, cfg: EcologyConfig, k_parent, k_mut)
         LAI_SK=LAI_SK,
         active=state.active.at[idx_new].set(True),
         n_active=state.n_active + 1,
-        R_leaf=state.R_leaf.at[idx_new].set(jnp.clip(R_new, 0.0, 1.0)),
-        peaks=state.peaks.at[idx_new].set(peaks_n),
-        alloc=state.alloc.at[idx_new].set(alloc_n),
-        leaf_area_per_energy=state.leaf_area_per_energy.at[idx_new].set(lape_n),
-        drought_tolerance=state.drought_tolerance.at[idx_new].set(tol_n),
-        gdd_germinate=state.gdd_germinate.at[idx_new].set(gdd_n),
-        lifespan_days=state.lifespan_days.at[idx_new].set(life_n),
+        R_leaf=state.R_leaf.at[idx_new].set(
+            jnp.clip(R_new, 0.0, 1.0).astype(state.R_leaf.dtype)),
+        peaks=state.peaks.at[idx_new].set(peaks_n.astype(state.peaks.dtype)),
+        alloc=state.alloc.at[idx_new].set(alloc_n.astype(state.alloc.dtype)),
+        leaf_area_per_energy=state.leaf_area_per_energy.at[idx_new].set(
+            lape_n.astype(state.leaf_area_per_energy.dtype)),
+        drought_tolerance=state.drought_tolerance.at[idx_new].set(
+            tol_n.astype(state.drought_tolerance.dtype)),
+        gdd_germinate=state.gdd_germinate.at[idx_new].set(
+            gdd_n.astype(state.gdd_germinate.dtype)),
+        lifespan_days=state.lifespan_days.at[idx_new].set(
+            life_n.astype(state.lifespan_days.dtype)),
     )
     return _recompute_weights_from_LAI(st, es)
 

@@ -9,7 +9,6 @@ jitted step (phyto daily + individual-pool substeps).
 from __future__ import annotations
 
 import dataclasses
-import math
 
 import jax.numpy as jnp
 import numpy as np

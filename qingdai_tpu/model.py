@@ -38,7 +38,7 @@ from .physics import energy as en
 from .physics import forcing
 from .physics import hydrology as hyd
 from .physics import humidity as hum
-from .routing import RoutingStatic, RoutingState, init_routing_state, routing_step
+from .routing import RoutingStatic, init_routing_state, routing_step
 from .state import (AlbedoCaches, AtmosState, ClockState, EnergyState,
                     LandState, OceanState, StaticFields, WorldState,
                     init_albedo_caches, init_atmos, init_clock,

@@ -14,8 +14,6 @@ Semantics follow the reference exactly:
 
 from __future__ import annotations
 
-from functools import partial
-
 import jax
 import jax.numpy as jnp
 

@@ -10,8 +10,6 @@ double-buffering discipline in /root/reference/pygcm/numerics/double_buffer.py.
 from __future__ import annotations
 
 import dataclasses
-from typing import Optional
-
 import jax
 import jax.numpy as jnp
 

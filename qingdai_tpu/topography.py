@@ -11,7 +11,7 @@ step — so plain NumPy/SciPy is the right tool.
 from __future__ import annotations
 
 import os
-from typing import Dict, Optional, Tuple
+from typing import Dict, Optional
 
 import numpy as np
 from scipy.ndimage import gaussian_filter

@@ -14,7 +14,6 @@ import numpy as np
 
 def species_height_maps(eco_state, es, cfg):
     """Per-species canopy-height proxies from layered LAI (ploter.py:57-121)."""
-    from ..ecology.population import canopy_height_map
     L_s = np.asarray(eco_state.LAI_SK).sum(axis=1)  # [S,H,W]
     return L_s
 

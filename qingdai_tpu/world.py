@@ -167,7 +167,6 @@ class QingdaiWorld:
             ep = os.getenv("QD_ECO_AUTOSAVE_PATH") or os.path.join("data", "ecology.nc")
             if os.path.exists(ep):
                 import dataclasses
-                from .ecology import population as eco_mod
                 eco_new, ok = ncio.load_ecology(ep, self.state.eco,
                                                 self.model.eco_static, cfg.ecology)
                 if ok:
