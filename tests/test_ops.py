@@ -143,6 +143,20 @@ def test_masked_median(rng):
     assert float(masked_median_of_positive(jnp.asarray(-np.abs(x)), fallback=3.0)) == 3.0
 
 
+def test_masked_median_bisect_matches_sort(rng):
+    from qingdai_tpu.ops.reductions import masked_median_of_positive_sort
+    for n_zero in (0, 700):  # even and odd positive counts across trials
+        for trial in range(4):
+            x = rng.standard_normal(1600)
+            if n_zero:
+                x[:n_zero] = -np.abs(x[:n_zero])
+            b = float(masked_median_of_positive(jnp.asarray(x)))
+            s = float(masked_median_of_positive_sort(jnp.asarray(x)))
+            ref = float(np.median(x[x > 0]))
+            np.testing.assert_allclose(b, ref, rtol=1e-12)
+            np.testing.assert_allclose(b, s, rtol=1e-12)
+
+
 def test_area_mean(rng, small_grid):
     g = small_grid
     x = rng.standard_normal(g.shape)
