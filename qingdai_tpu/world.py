@@ -210,13 +210,16 @@ class QingdaiWorld:
 
     # --------------------------------------------------------------- autosave
     def autosave_async(self):
-        """Snapshot the device state and write the autosave set on the IO
-        worker thread (never blocks the scan loop)."""
-        snapshot = jax.device_get(self.state)
+        """Write the autosave set on the IO worker thread. The device→host
+        transfer also happens on the worker: over the axon tunnel a full-state
+        device_get costs ~0.4 s, which would otherwise stall the scan loop
+        every autosave. jax arrays are immutable, so capturing the current
+        state binding and fetching it later is safe."""
+        state_ref = self.state
         t_sec = self.t_seconds
         self._io_futures = [f for f in self._io_futures if not f.done()]
-        self._io_futures.append(
-            self._io_pool.submit(self._write_autosave, snapshot, t_sec))
+        self._io_futures.append(self._io_pool.submit(
+            lambda: self._write_autosave(jax.device_get(state_ref), t_sec)))
 
     def flush_io(self):
         for f in list(self._io_futures):
@@ -316,6 +319,14 @@ class QingdaiWorld:
         self.t_seconds += n * self.model.dt
         return diags
 
+    def _print_diags_async(self, diags, step0: int):
+        """Queue diagnostic printing on the IO worker so the chunk loop never
+        blocks on the device→host fetch (each tunnel roundtrip is ~10 ms and
+        the stacked diag dict has ~30 leaves)."""
+        self._io_futures = [f for f in self._io_futures if not f.done()]
+        self._io_futures.append(
+            self._io_pool.submit(self._print_diags, diags, step0))
+
     def _print_diags(self, diags, step0: int):
         """Reference-tagged diagnostics at ~200-step cadence from the stacked
         per-step scalars (SURVEY.md §5.5)."""
@@ -401,18 +412,20 @@ class QingdaiWorld:
                 self._plots()
                 next_plot += plot_every_s
             diags = self.step_chunk(n)
-            self._print_diags(diags, done)
+            self._print_diags_async(diags, done)
             done += n
             if (cfg.ecology.diversity_enable and self.state.eco is not None
                     and self.t_seconds / self.day_seconds >= diversity_next_day):
                 try:
                     from .ecology import diversity as div
                     lat_mesh = np.tile(self.lat[:, None], (1, len(self.lon)))
-                    eco_snap = jax.device_get(self.state.eco)
+                    eco_ref = self.state.eco
                     t_days = self.t_seconds / self.day_seconds
                     self._io_futures.append(self._io_pool.submit(
-                        div.compute_and_plot, self.lat, self.lon, lat_mesh,
-                        eco_snap, self.land_mask, t_days, "output"))
+                        lambda: div.compute_and_plot(
+                            self.lat, self.lon, lat_mesh,
+                            jax.device_get(eco_ref), self.land_mask,
+                            t_days, "output")))
                 except Exception as e:
                     self._log(f"[Diversity] diagnostics skipped: {e}")
                 diversity_next_day += cfg.ecology.diversity_every_days
@@ -439,13 +452,14 @@ class QingdaiWorld:
         try:
             from types import SimpleNamespace
             from .viz import plots as viz
-            snap = SimpleNamespace(
-                state=jax.device_get(self.state), cfg=self.cfg,
-                model=self.model, land_mask=self.land_mask,
-                elevation=self.elevation, lat=self.lat, lon=self.lon)
+            state_ref = self.state
             t_days = self.t_seconds / self.day_seconds
 
             def render():
+                snap = SimpleNamespace(
+                    state=jax.device_get(state_ref), cfg=self.cfg,
+                    model=self.model, land_mask=self.land_mask,
+                    elevation=self.elevation, lat=self.lat, lon=self.lon)
                 viz.plot_all(snap, t_days, "output")
 
             self._io_futures = [f for f in self._io_futures if not f.done()]
