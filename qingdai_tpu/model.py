@@ -162,8 +162,20 @@ def init_world(model: Model, t0_seconds: float = 0.0, seed: int = 42,
 # The step
 # ---------------------------------------------------------------------------
 
-def make_step_fn(model: Model):
-    """Returns step(state) -> (state, diag) — pure, jittable, scannable."""
+def make_step_fn(model: Model, daily_mode: str = "cond"):
+    """Returns step(state) -> (state, diag) — pure, jittable, scannable.
+
+    ``daily_mode`` controls the day-boundary block (ecology/individual daily
+    steps + accumulator resets):
+      - "cond": decide at runtime from accum_t (reference semantics, default);
+      - "off":  statically not a boundary (steps 1..N-1 of a day);
+      - "on":   statically a boundary (step N of a day).
+    The static modes exist for the day-aligned chunk path: carrying the daily
+    block behind a per-step lax.cond costs ~0.13 ms/step on TPU (the cond
+    forces buffer copies of the eco tensors every iteration), while a
+    straight-line daily step once per day costs its true ~4 ms/day.
+    """
+    assert daily_mode in ("cond", "off", "on")
     grid = model.grid
     cfg = model.cfg
     static = model.static
@@ -203,7 +215,7 @@ def make_step_fn(model: Model):
         # ---- daily accumulation + daily-boundary block (:1784-1864) ----
         precip_acc = clock.precip_acc_day + jnp.nan_to_num(precip) * dt
         accum_t = clock.accum_t_day + dt
-        is_daily = accum_t >= day_s
+        is_daily = accum_t >= day_s if daily_mode == "cond" else (daily_mode == "on")
 
         soil_idx = jnp.clip(lstate.W_land / max(1e-6, cfg.ecology.soil_water_cap),
                             0.0, 1.0)
@@ -236,13 +248,23 @@ def make_step_fn(model: Model):
                     has_b = jnp.asarray(True)
                 return eco_s, ind_s, k, ab_daily, has_b
 
-            eco_state, indiv_state, key, alpha_banded_daily, has_banded = cond_keep_dtypes(
-                is_daily, daily_block, lambda a: a,
-                (eco_state, indiv_state, key, alpha_banded_daily, has_banded))
+            args = (eco_state, indiv_state, key, alpha_banded_daily, has_banded)
+            if daily_mode == "cond":
+                args = cond_keep_dtypes(is_daily, daily_block, lambda a: a, args)
+            elif daily_mode == "on":
+                args = daily_block(args)
+            eco_state, indiv_state, key, alpha_banded_daily, has_banded = args
 
-        precip_day_last = jnp.where(is_daily, precip_acc, clock.precip_day_last)
-        precip_acc = jnp.where(is_daily, 0.0, precip_acc)
-        accum_t = jnp.where(is_daily, accum_t - day_s, accum_t)
+        if daily_mode == "cond":
+            precip_day_last = jnp.where(is_daily, precip_acc, clock.precip_day_last)
+            precip_acc = jnp.where(is_daily, 0.0, precip_acc)
+            accum_t = jnp.where(is_daily, accum_t - day_s, accum_t)
+        elif daily_mode == "on":
+            precip_day_last = precip_acc
+            precip_acc = jnp.zeros_like(precip_acc)
+            accum_t = accum_t - day_s
+        else:
+            precip_day_last = clock.precip_day_last
 
         # ---- 1b-1d) cloud blending (:1866-1913) ----
         if pcfg.p_ref is not None:
@@ -559,14 +581,50 @@ def make_step_fn(model: Model):
     return step
 
 
-def make_chunk_fn(model: Model, chunk_steps: Optional[int] = None):
-    """scan the step over a chunk; returns (state, stacked diag)."""
-    step = make_step_fn(model)
+def make_chunk_fn(model: Model, chunk_steps: Optional[int] = None,
+                  day_aligned: bool = True):
+    """scan the step over a chunk; returns (state, stacked diag).
+
+    When the chunk is a whole number of days (and dt divides the day), the
+    scan is structured as days: an inner scan of steps 1..N-1 with the daily
+    block statically off, then step N with it statically on. This removes the
+    per-step lax.cond around the ecology daily work (see make_step_fn). It is
+    numerically identical to the cond path *provided accum_t_day enters the
+    chunk at 0* — callers resuming from a mid-day restart must pass
+    ``day_aligned=False`` (QingdaiWorld checks this automatically).
+    """
     n = chunk_steps or model.cfg.run.chunk_steps
+    dt = model.dt
+    day_s = model.day_seconds
+    spd = int(round(day_s / dt))
+    aligned = (day_aligned and abs(spd * dt - day_s) < 1e-9
+               and spd >= 2 and n % spd == 0)
+
+    if not aligned:
+        step = make_step_fn(model)
+
+        def chunk(state: WorldState):
+            def body(s, _):
+                return step(s)
+            return jax.lax.scan(body, state, None, length=n)
+
+        return chunk
+
+    step_off = make_step_fn(model, daily_mode="off")
+    step_on = make_step_fn(model, daily_mode="on")
+    n_days = n // spd
 
     def chunk(state: WorldState):
-        def body(s, _):
-            return step(s)
-        return jax.lax.scan(body, state, None, length=n)
+        def day(s, _):
+            s, d1 = jax.lax.scan(lambda s2, _: step_off(s2), s, None,
+                                 length=spd - 1)
+            s, d2 = step_on(s)
+            d = jax.tree.map(
+                lambda a, b: jnp.concatenate([a, b[None]], axis=0), d1, d2)
+            return s, d
+        state, diags = jax.lax.scan(day, state, None, length=n_days)
+        diags = jax.tree.map(
+            lambda a: a.reshape((n,) + a.shape[2:]), diags)
+        return state, diags
 
     return chunk

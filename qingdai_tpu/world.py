@@ -42,6 +42,8 @@ class QingdaiWorld:
         self._build()
         self._init_state()
         self._chunk_fn = None
+        self._chunk_key = None
+        self._day_aligned = None  # resolved lazily at the first step_chunk
         self._hydro_prev = None  # (time_s, total_reservoir_mean)
         self._autosave_registered = False
         # single IO worker: NetCDF writes and rendering run off the chunk
@@ -312,11 +314,23 @@ class QingdaiWorld:
     def step_chunk(self, n_steps: Optional[int] = None):
         """Advance n_steps inside one jitted scan; returns stacked diags."""
         n = n_steps or self.cfg.run.chunk_steps
-        if self._chunk_fn is None or self._chunk_steps != n:
-            self._chunk_fn = jax.jit(M.make_chunk_fn(self.model, n))
-            self._chunk_steps = n
+        spd = int(round(self.model.day_seconds / self.model.dt))
+        if self._day_aligned is None:
+            # host check once: the day-structured chunk is only valid when the
+            # chunk starts exactly at a day boundary (fresh init or an
+            # autosave written at a chunk boundary)
+            self._day_aligned = (
+                float(jax.device_get(self.state.clock.accum_t_day)) == 0.0)
+        aligned = bool(self._day_aligned and n % spd == 0)
+        key = (n, aligned)
+        if self._chunk_fn is None or self._chunk_key != key:
+            self._chunk_fn = jax.jit(
+                M.make_chunk_fn(self.model, n, day_aligned=aligned))
+            self._chunk_key = key
         self.state, diags = self._chunk_fn(self.state)
         self.t_seconds += n * self.model.dt
+        # a non-day-multiple chunk leaves accum_t mid-day: stay on cond-mode
+        self._day_aligned = self._day_aligned and (n % spd == 0)
         return diags
 
     def _print_diags_async(self, diags, step0: int):

@@ -118,3 +118,23 @@ def test_insolation_phase_consistency():
         jnp.mod(orbital.OMEGA_PLANET * t, two_pi))
     np.testing.assert_allclose(np.asarray(a1), np.asarray(a2), rtol=1e-5, atol=1e-6)
     np.testing.assert_allclose(np.asarray(b1), np.asarray(b2), rtol=1e-5, atol=1e-6)
+
+
+def test_day_aligned_chunk_matches_cond_chunk():
+    """The day-structured scan (static daily on/off) must reproduce the
+    runtime-cond scan exactly: same state, same stacked diags."""
+    mdl = _build(QD_DT=7200)  # 10 steps per 72000 s day
+    st0 = M.init_world(mdl)
+    n = 20  # two full days
+    chunk_cond = jax.jit(M.make_chunk_fn(mdl, n, day_aligned=False))
+    chunk_day = jax.jit(M.make_chunk_fn(mdl, n, day_aligned=True))
+    s1, d1 = chunk_cond(st0)
+    s2, d2 = chunk_day(st0)
+    for a, b in zip(jax.tree_util.tree_leaves(s1), jax.tree_util.tree_leaves(s2)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-6, atol=1e-7)
+    assert set(d1.keys()) == set(d2.keys())
+    for k in d1:
+        assert d1[k].shape == d2[k].shape
+        np.testing.assert_allclose(np.asarray(d1[k]), np.asarray(d2[k]),
+                                   rtol=1e-6, atol=1e-7, err_msg=k)
