@@ -18,7 +18,7 @@ import numpy as np
 from ..config import EcologyConfig
 from . import population as pop_mod
 from .population import EcoState, EcoStatic
-from .spectral import dual_star_insolation_to_bands
+from .spectral import dual_star_insolation_to_bands_points
 from ..ops.control import cond_keep_dtypes
 
 
@@ -28,6 +28,7 @@ class IndivStatic:
     n_cells: int = dataclasses.field(metadata=dict(static=True))
     per_cell: int = dataclasses.field(metadata=dict(static=True))
     ns: int = dataclasses.field(metadata=dict(static=True))
+    fires_per_day: int = dataclasses.field(metadata=dict(static=True))
     sample_j: jax.Array       # [C] int32
     sample_i: jax.Array       # [C]
     cell_index: jax.Array     # [N] int32 individual → cell
@@ -37,11 +38,24 @@ class IndivStatic:
 @jax.tree_util.register_dataclass
 @dataclasses.dataclass
 class IndivState:
-    E_day: jax.Array          # [N]
+    """Sampled-individual prognostics.
+
+    The substep (fires ``fires_per_day`` times/day) only touches per-CELL
+    buffers: banded irradiance-time integral J_cells and a soil ring buffer.
+    Per-INDIVIDUAL quantities are materialized once at the daily step —
+    mathematically identical to the reference's per-substep accumulation
+    (individuals.py:142-191) because dE = Ab·I_b·Δt is linear in I_b and
+    non-negative, but it keeps the 48k-row gathers out of the hot loop.
+    ``E_day`` therefore holds the last *completed* day's energy.
+    """
+    E_day: jax.Array          # [N] energy of the last completed day
     water_stress_days: jax.Array  # [N]
     Ab: jax.Array             # [N, NB] per-individual band absorb/reflect weights
     tol: jax.Array            # [N] drought tolerance
     substep_accum: jax.Array  # scalar seconds
+    J_cells: jax.Array        # [C, NB] ∑ I_b·Δt since the last daily step
+    soil_buf: jax.Array       # [F, C] per-fire soil index ring buffer
+    fire_idx: jax.Array       # int32 fires since the last daily step
 
 
 def build_individuals(grid_shape, land_mask, es: EcoStatic, eco: EcoState,
@@ -71,8 +85,9 @@ def build_individuals(grid_shape, land_mask, es: EcoStatic, eco: EcoState,
     Ab = np.clip(Ab, 0.0, 1.0)
     tol = np.clip(np.asarray(eco.drought_tolerance)[species_id], 0.0, 1.0)
 
+    F = max(1, int(cfg.indiv_substeps_per_day))
     static = IndivStatic(
-        n_cells=C, per_cell=per_cell, ns=es.S,
+        n_cells=C, per_cell=per_cell, ns=es.S, fires_per_day=F,
         sample_j=jnp.asarray(jj), sample_i=jnp.asarray(ii),
         cell_index=jnp.asarray(cell_index), species_id=jnp.asarray(species_id),
     )
@@ -82,6 +97,9 @@ def build_individuals(grid_shape, land_mask, es: EcoStatic, eco: EcoState,
         Ab=jnp.asarray(Ab, dtype),
         tol=jnp.asarray(tol, dtype),
         substep_accum=jnp.asarray(0.0, dtype),
+        J_cells=jnp.zeros((C, es.NB), dtype),
+        soil_buf=jnp.zeros((F, C), dtype),
+        fire_idx=jnp.asarray(0, jnp.int32),
     )
     return static, state
 
@@ -97,25 +115,41 @@ def indiv_try_substep(ist: IndivStatic, st: IndivState, es: EcoStatic,
     accum = st.substep_accum + dt
 
     def fire(_):
-        I_b = dual_star_insolation_to_bands(isr_A, isr_B, es.specA, es.specB, es.T_ray)
-        I_b_cells = I_b[:, ist.sample_j, ist.sample_i].T  # [C, NB]
-        I_b_indiv = I_b_cells[ist.cell_index, :]          # [N, NB]
-        dE = jnp.sum(st.Ab * I_b_indiv, axis=1) * period
+        insA_c = isr_A[ist.sample_j, ist.sample_i]
+        insB_c = isr_B[ist.sample_j, ist.sample_i]
+        I_b_cells = dual_star_insolation_to_bands_points(
+            insA_c, insB_c, es.specA, es.specB, es.T_ray)  # [C, NB]
         if glacier_mask is not None:
             gl_cells = glacier_mask[ist.sample_j, ist.sample_i]
-            dE = jnp.where(gl_cells[ist.cell_index], 0.0, dE)
-        E_day = st.E_day + jnp.maximum(0.0, dE)
+            I_b_cells = jnp.where(gl_cells[:, None], 0.0, I_b_cells)
+        J = st.J_cells + I_b_cells * period
         soil_cells = soil_idx[ist.sample_j, ist.sample_i]
-        soil_indiv = soil_cells[ist.cell_index]
-        stressed = soil_indiv < st.tol
-        wsd = st.water_stress_days + jnp.where(stressed, period / day_length_seconds, 0.0)
-        return dataclasses.replace(st, E_day=E_day, water_stress_days=wsd,
+        slot = jnp.mod(st.fire_idx, ist.fires_per_day)
+        soil_buf = jax.lax.dynamic_update_slice_in_dim(
+            st.soil_buf, soil_cells[None].astype(st.soil_buf.dtype), slot, axis=0)
+        return dataclasses.replace(st, J_cells=J, soil_buf=soil_buf,
+                                   fire_idx=st.fire_idx + 1,
                                    substep_accum=accum - period)
 
     def wait(_):
         return dataclasses.replace(st, substep_accum=accum)
 
     return cond_keep_dtypes(accum >= period, fire, wait, None)
+
+
+def materialize_day(ist: IndivStatic, st: IndivState,
+                    day_length_seconds: float = None):
+    """Per-individual (E_day, added stress days) from the per-cell buffers —
+    equal to the reference's per-substep accumulation by linearity
+    (individuals.py:168-191); Ab·I_b ≥ 0 makes its max(0, dE) a no-op."""
+    cell = ist.cell_index
+    E_day = jnp.sum(st.Ab * st.J_cells[cell, :], axis=1)   # [N]
+    F = ist.fires_per_day
+    valid = (jnp.arange(F) < st.fire_idx)[:, None]          # [F,1]
+    soil_pi = st.soil_buf[:, cell]                          # [F,N]
+    stressed = valid & (soil_pi < st.tol[None, :])
+    add_wsd = jnp.sum(stressed, axis=0).astype(E_day.dtype) / float(F)
+    return E_day, add_wsd
 
 
 def indiv_step_daily(ist: IndivStatic, st: IndivState, es: EcoStatic,
@@ -130,16 +164,20 @@ def indiv_step_daily(ist: IndivStatic, st: IndivState, es: EcoStatic,
     S, C = ist.ns, ist.n_cells
     sp, cell = ist.species_id, ist.cell_index
 
+    # materialize the day's per-individual energy/stress from the cell buffers
+    E_day, add_wsd = materialize_day(ist, st)
+    wsd_now = st.water_stress_days + add_wsd
+
     flat_idx = sp.astype(jnp.int32) * C + cell.astype(jnp.int32)
-    E_s_c = jnp.zeros((S * C,), st.E_day.dtype).at[flat_idx].add(st.E_day).reshape(S, C)
+    E_s_c = jnp.zeros((S * C,), E_day.dtype).at[flat_idx].add(E_day).reshape(S, C)
     denom = jnp.sum(E_s_c, axis=0) + 1e-12
     W_s_c = E_s_c / denom[None, :]
 
-    mean_stress = jnp.zeros((S, C), st.E_day.dtype)
+    mean_stress = jnp.zeros((S, C), E_day.dtype)
     if cfg.indiv_stress_penalty > 0.0:
-        stress_s_c = jnp.zeros((S * C,), st.E_day.dtype).at[flat_idx].add(
-            st.water_stress_days).reshape(S, C)
-        cnt_s_c = jnp.zeros((S * C,), st.E_day.dtype).at[flat_idx].add(1.0).reshape(S, C)
+        stress_s_c = jnp.zeros((S * C,), E_day.dtype).at[flat_idx].add(
+            wsd_now).reshape(S, C)
+        cnt_s_c = jnp.zeros((S * C,), E_day.dtype).at[flat_idx].add(1.0).reshape(S, C)
         mean_stress = jnp.where(cnt_s_c > 0, stress_s_c / jnp.maximum(cnt_s_c, 1.0), 0.0)
         pen = 1.0 / (1.0 + cfg.indiv_stress_penalty * mean_stress)
         W_s_c = W_s_c * pen
@@ -196,8 +234,11 @@ def indiv_step_daily(ist: IndivStatic, st: IndivState, es: EcoStatic,
     soil_cells = soil_idx[ist.sample_j, ist.sample_i]
     soil_indiv = soil_cells[ist.cell_index]
     ok = soil_indiv >= st.tol
-    wsd = jnp.where(ok, st.water_stress_days * cfg.indiv_stress_decay,
-                    jnp.minimum(st.water_stress_days + 1.0, 365.0))
-    st = dataclasses.replace(st, E_day=jnp.zeros_like(st.E_day),
-                             water_stress_days=wsd)
+    wsd = jnp.where(ok, wsd_now * cfg.indiv_stress_decay,
+                    jnp.minimum(wsd_now + 1.0, 365.0))
+    # E_day keeps the completed day's energy (plots read it); the cell
+    # buffers restart for the next day
+    st = dataclasses.replace(st, E_day=E_day, water_stress_days=wsd,
+                             J_cells=jnp.zeros_like(st.J_cells),
+                             fire_idx=jnp.zeros_like(st.fire_idx))
     return st, eco

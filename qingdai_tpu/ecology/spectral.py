@@ -112,6 +112,24 @@ def dual_star_insolation_to_bands(insA, insB, specA, specB, T_ray):
     return S_b * scale[None]
 
 
+def dual_star_insolation_to_bands_points(insA_c, insB_c, specA, specB, T_ray):
+    """Per-point band intensities [C, NB]: the same math as
+    dual_star_insolation_to_bands (spectral.py:304-426) evaluated only at C
+    gathered cells instead of the full grid — used by the sampled individual
+    pool, whose substep needs the bands at ~0.5% of the pixels."""
+    specA = jnp.asarray(specA, insA_c.dtype)
+    specB = jnp.asarray(specB, insA_c.dtype)
+    T_ray = jnp.asarray(T_ray, insA_c.dtype)
+    S_b = (specA[None, :] * insA_c[:, None] + specB[None, :] * insB_c[:, None]) \
+        * T_ray[None, :]
+    S_sum = jnp.sum(S_b, axis=1)
+    I_tot = insA_c + insB_c
+    eps = 1e-12
+    ok = (S_sum > eps) & (I_tot > eps)
+    scale = jnp.where(ok, I_tot / jnp.where(S_sum > eps, S_sum, 1.0), 0.0)
+    return S_b * scale[:, None]
+
+
 def absorbance_from_peaks(lambda_centers, peaks):
     """Band absorbance from Gaussian peaks [P, 3] = (center, width, height)
     (genes.py:95-111); works on device for mutated genes."""

@@ -128,10 +128,14 @@ def test_individual_pool_coupling(eco_world):
     for _ in range(12):
         ipool2 = ind.indiv_try_substep(ist, ipool2, es, cfg2, isr * 0.5, isr * 0.5,
                                        soil, 7200.0, 72000.0)
-    assert float(ipool2.E_day.sum()) > 0
+    assert float(ipool2.J_cells.sum()) > 0           # cell energy accumulated
+    E_mid, _ = ind.materialize_day(ist, ipool2)
+    assert float(E_mid.sum()) > 0
     sb_before = float(state.seed_bank.sum())
     ipool3, eco2 = ind.indiv_step_daily(ist, ipool2, es, state, cfg2, soil)
-    assert float(ipool3.E_day.sum()) == 0.0          # daily reset
+    assert float(ipool3.E_day.sum()) > 0             # completed-day energy kept
+    assert float(ipool3.J_cells.sum()) == 0.0        # cell buffers reset
+    assert int(ipool3.fire_idx) == 0
     assert float(eco2.seed_bank.sum()) > sb_before   # seed coupling fed the bank
     # species weights renormalized
     np.testing.assert_allclose(float(eco2.species_weights.sum()), 1.0, rtol=1e-3)
@@ -230,3 +234,39 @@ def test_phyto_growth_and_transport(rng):
     st3 = ph.phyto_advect_diffuse(ps, st2, cfg, g, uo, vo, 300.0)
     assert np.all(np.asarray(st3.C_phyto) >= 0)
     assert np.all(np.asarray(st3.C_phyto)[:, ~ocean] == 0)
+
+
+def test_indiv_deferred_energy_matches_per_fire(eco_world):
+    """materialize_day must equal the naive per-fire per-individual
+    accumulation (the reference's substep semantics, individuals.py:168-191)."""
+    es, state, bands, _, cfg, land = eco_world
+    cfg2 = EcologyConfig(ns=4, species_max=6, indiv_sample_frac=0.3,
+                         indiv_per_cell=10, indiv_substeps_per_day=10,
+                         rand_seed=7)
+    ist, ipool = ind.build_individuals(land.shape, land, es, state, cfg2)
+    rng = np.random.default_rng(1)
+    H, W = land.shape
+    period = 72000.0 / 10
+    E_ref = np.zeros(ipool.E_day.shape)
+    wsd_ref = np.zeros(ipool.E_day.shape)
+    st = ipool
+    for _ in range(10):
+        isrA = jnp.asarray(rng.uniform(0, 500, (H, W)), jnp.float32)
+        isrB = jnp.asarray(rng.uniform(0, 300, (H, W)), jnp.float32)
+        soil = jnp.asarray(rng.uniform(0, 1, (H, W)), jnp.float32)
+        st = ind.indiv_try_substep(ist, st, es, cfg2, isrA, isrB, soil,
+                                   7200.0, 72000.0)
+        # naive reference accumulation
+        from qingdai_tpu.ecology.spectral import dual_star_insolation_to_bands
+        I_b = dual_star_insolation_to_bands(isrA, isrB, es.specA, es.specB,
+                                            es.T_ray)
+        I_c = np.asarray(I_b)[:, np.asarray(ist.sample_j),
+                              np.asarray(ist.sample_i)].T
+        I_i = I_c[np.asarray(ist.cell_index), :]
+        E_ref += np.maximum(0.0, (np.asarray(st.Ab) * I_i).sum(1) * period)
+        s_i = np.asarray(soil)[np.asarray(ist.sample_j),
+                               np.asarray(ist.sample_i)][np.asarray(ist.cell_index)]
+        wsd_ref += (s_i < np.asarray(st.tol)) * (period / 72000.0)
+    E_day, add_wsd = ind.materialize_day(ist, st)
+    np.testing.assert_allclose(np.asarray(E_day), E_ref, rtol=2e-5)
+    np.testing.assert_allclose(np.asarray(add_wsd), wsd_ref, rtol=1e-6)
