@@ -70,6 +70,7 @@ class EcoState:
     drought_tolerance: jax.Array     # [S]
     gdd_germinate: jax.Array         # [S]
     lifespan_days: jax.Array         # [S]
+    parent_idx: jax.Array            # [S] int32; -1 = founder, else mutation parent
     canopy_f: jax.Array        # [H,W]
     hours_accum: jax.Array     # scalar
     lai_snapshot: jax.Array    # [H,W]
@@ -181,6 +182,7 @@ def build_eco(grid_shape, land_mask, cfg: EcologyConfig, dtype=jnp.float32):
         drought_tolerance=jnp.asarray(packed["drought_tolerance"], dtype),
         gdd_germinate=jnp.asarray(packed["gdd_germinate"], dtype),
         lifespan_days=jnp.asarray(packed["lifespan_days"], dtype),
+        parent_idx=jnp.full((S,), -1, jnp.int32),
         canopy_f=jnp.asarray(1.0 - np.exp(-k * np.maximum(total0, 0.0)), dtype),
         hours_accum=jnp.asarray(0.0, dtype),
         lai_snapshot=jnp.asarray(total0, dtype),
@@ -436,6 +438,7 @@ def _mutate(es: EcoStatic, state: EcoState, cfg: EcologyConfig, k_parent, k_mut)
             gdd_n.astype(state.gdd_germinate.dtype)),
         lifespan_days=state.lifespan_days.at[idx_new].set(
             life_n.astype(state.lifespan_days.dtype)),
+        parent_idx=state.parent_idx.at[idx_new].set(parent.astype(jnp.int32)),
     )
     return _recompute_weights_from_LAI(st, es)
 

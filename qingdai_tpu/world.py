@@ -264,10 +264,28 @@ class QingdaiWorld:
             ncio.save_ecology(path, self.lat, self.lon, eco_host, bands, w_b,
                               day_value=day_value)
             n_act = int(np.asarray(eco_host.n_active))
+            # identities: founders from the loaded genes table (or the
+            # mode-based default), mutants as "<parent>_mut" via the on-device
+            # parent index (reference adapter.py:477 names mutants this way)
+            base_ids = [g.identity for g in getattr(self, "genes_list", None) or []]
+            modes_seed = np.asarray(self.model.eco_static.modes_seed)
+            pidx = np.asarray(eco_host.parent_idx)
+            idents = []
+            for i in range(n_act):
+                if i < len(base_ids):
+                    idents.append(base_ids[i])
+                elif int(pidx[i]) >= 0:
+                    p = int(pidx[i])
+                    parent_id = (idents[p] if p < len(idents)
+                                 else ("tree" if modes_seed[p] else "grass"))
+                    idents.append(parent_id + "_mut")
+                else:
+                    idents.append(os.getenv(f"QD_ECO_SPECIES_{i}_IDENTITY")
+                                  or ("tree" if modes_seed[i] else "grass"))
             genes_list = gmod.unpack_genes(
                 {k: getattr(eco_host, k) for k in
                  ("peaks", "alloc", "leaf_area_per_energy", "drought_tolerance",
-                  "gdd_germinate", "lifespan_days")}, n_act)
+                  "gdd_germinate", "lifespan_days")}, n_act, identities=idents)
             ncio.save_genes_json(os.path.join("data", "genes.json"), genes_list,
                                  bands, w_b,
                                  species_weights=np.asarray(eco_host.species_weights)[:n_act],
