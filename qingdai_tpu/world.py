@@ -468,10 +468,18 @@ class QingdaiWorld:
                     print(f"[Autosave] async dispatch failed: {e}")
                 next_autosave += autosave_every_s
             if done % (chunk * 10) == 0 or done >= total_steps:
-                elapsed = time.time() - t_wall0
-                sy_h = (done * dt / T_PLANET) / max(elapsed / 3600.0, 1e-9)
-                self._log(f"t={self.t_seconds / self.day_seconds:.1f}d | "
-                          f"{done}/{total_steps} steps | {sy_h:.1f} sim-years/hour")
+                # measure on the IO worker AFTER this chunk's results exist —
+                # the loop itself only dispatches (async), so timing here
+                # would report dispatch rate, not completion rate
+                def _rate(diags_ref=diags, done_now=done,
+                          t_days=self.t_seconds / self.day_seconds):
+                    jax.block_until_ready(diags_ref)
+                    elapsed = time.time() - t_wall0
+                    sy_h = (done_now * dt / T_PLANET) / max(elapsed / 3600.0, 1e-9)
+                    self._log(f"t={t_days:.1f}d | {done_now}/{total_steps} "
+                              f"steps | {sy_h:.1f} sim-years/hour")
+
+                self._io_futures.append(self._io_pool.submit(_rate))
         self.flush_io()
         if cfg.run.restart_out:
             ncio.save_restart(cfg.run.restart_out, self.lat, self.lon,
