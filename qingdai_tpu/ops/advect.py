@@ -98,6 +98,10 @@ class AdvectPlan:
     k_lon: int
     k_lat: int
     exact_rows: tuple  # row indices needing the generic gather
+    # exact (fractional) offset bounds; the roll loops cover only
+    # [-ceil(b), floor(b)+1] instead of the integer-symmetric window
+    b_lon: float = None
+    b_lat: float = None
 
 
 def make_advect_plan(n_lat: int, dlat: float, dlon: float, dt: float, a: float,
@@ -118,8 +122,14 @@ def make_advect_plan(n_lat: int, dlat: float, dlon: float, dt: float, a: float,
     k_lon = int(np.ceil(covered.max())) if covered.size else int(k_lon_max)
     k_lon = max(1, min(k_lon, int(k_lon_max)))
     exact = tuple(int(r) for r in np.nonzero(bound_lon > k_lon)[0])
-    k_lat = int(np.ceil(vmax * dt / (a * dlat)))
-    return AdvectPlan(k_lon=k_lon, k_lat=max(1, k_lat), exact_rows=exact)
+    b_lat = vmax * dt / (a * dlat)
+    k_lat = int(np.ceil(b_lat))
+    b_lon = float(covered.max()) if covered.size else float(k_lon)
+    # small margin for f32 rounding of the departure points
+    eps = 1e-5
+    return AdvectPlan(k_lon=k_lon, k_lat=max(1, k_lat), exact_rows=exact,
+                      b_lon=b_lon * (1 + eps) + 1e-6,
+                      b_lat=float(b_lat) * (1 + eps) + 1e-6)
 
 
 def _advect_windowed(fields, dep_j, dep_i, plan: AdvectPlan):
@@ -135,14 +145,22 @@ def _advect_windowed(fields, dep_j, dep_i, plan: AdvectPlan):
     oj = j0.astype(jnp.int32) - jj
     oi = i0.astype(jnp.int32) - ii
 
+    import math
     K, KL = plan.k_lon, plan.k_lat
-    # lat-rolled stacks: Gm[m] = roll(fields, -m, lat) for m in [-KL, KL+1]
-    ms = list(range(-KL, KL + 2))
+    if plan.b_lon is not None:
+        # offsets o ∈ [-b, b]; corners are floor(o) and floor(o)+1, so the
+        # contributing shifts are exactly [-ceil(b), floor(b)+1]
+        ks = list(range(-math.ceil(plan.b_lon), math.floor(plan.b_lon) + 2))
+        ms = list(range(-math.ceil(plan.b_lat), math.floor(plan.b_lat) + 2))
+    else:
+        ks = list(range(-K - 1, K + 2))
+        ms = list(range(-KL, KL + 2))
+    # lat-rolled stacks: Gm[m] = roll(fields, -m, lat)
     Gm = jnp.concatenate([jnp.roll(fields, -m, axis=1) for m in ms], axis=0)
     # shared lon window (same weights for every lat shift)
     C = jnp.zeros_like(Gm)
     one = jnp.asarray(1.0, fields.dtype)
-    for k in range(-K - 1, K + 2):
+    for k in ks:
         Wk = jnp.where(oi == k, one - fi, 0.0) + jnp.where(oi == k - 1, fi, 0.0)
         C = C + Wk[None] * jnp.roll(Gm, -k, axis=2)
     out = jnp.zeros_like(fields)
