@@ -169,10 +169,73 @@ def _advect_windowed(fields, dep_j, dep_i, plan: AdvectPlan):
         out = out + Wm[None] * C[mi * M:(mi + 1) * M]
 
     if plan.exact_rows:
-        rows = jnp.asarray(plan.exact_rows, jnp.int32)
-        out_r = bilinear_wrap_gather_multi(fields, dep_j[rows, :], dep_i[rows, :])
-        out = out.at[:, rows, :].set(out_r)
+        bands = _exact_bands(plan.exact_rows, H)
+        if bands is not None:
+            # the exact rows hug the poles, so the gather only ever reads a
+            # narrow latitude band — slicing the operand keeps XLA from
+            # copying/relayouting the full [4M, H·W] corner stack per call
+            n_top, n_bot = bands
+            margin = KL + 1
+            if n_top:
+                sl = slice(0, n_top)
+                band = jnp.concatenate(
+                    [fields[:, H - margin:], fields[:, :n_top + margin]], axis=1)
+                out_r = _bilinear_band_gather(band, dep_j[sl] + margin,
+                                              dep_i[sl], W)
+                out = jax.lax.dynamic_update_slice_in_dim(out, out_r, 0, axis=1)
+            if n_bot:
+                sl = slice(H - n_bot, H)
+                lo0 = H - n_bot - margin
+                band = jnp.concatenate(
+                    [fields[:, lo0:], fields[:, :margin]], axis=1)
+                out_r = _bilinear_band_gather(band, dep_j[sl] - lo0,
+                                              dep_i[sl], W)
+                out = jax.lax.dynamic_update_slice_in_dim(out, out_r, H - n_bot,
+                                                          axis=1)
+        else:
+            rows = jnp.asarray(plan.exact_rows, jnp.int32)
+            out_r = bilinear_wrap_gather_multi(fields, dep_j[rows, :], dep_i[rows, :])
+            out = out.at[:, rows, :].set(out_r)
     return out
+
+
+def _exact_bands(exact_rows, H):
+    """(n_top, n_bot) if exact_rows are contiguous runs at the poles."""
+    top = sorted(r for r in exact_rows if r < H // 2)
+    bot = sorted(r for r in exact_rows if r >= H // 2)
+    if top != list(range(len(top))) or bot != list(range(H - len(bot), H)):
+        return None
+    return len(top), len(bot)
+
+
+def _bilinear_band_gather(band, dep_j_local, dep_i, W):
+    """bilinear_wrap_gather_multi on a pre-sliced latitude band.
+
+    ``dep_j_local`` is already shifted into band coordinates and guaranteed
+    in [0, hb-2] by the plan's velocity bound (so no lat wrap is needed);
+    longitude still wraps mod W.
+    """
+    M, hb, _ = band.shape
+    out_shape = dep_j_local.shape
+    j0f = jnp.floor(dep_j_local)
+    i0f = jnp.floor(dep_i)
+    fj = (dep_j_local - j0f).astype(band.dtype)
+    fi = (dep_i - i0f).astype(band.dtype)
+    j0 = j0f.astype(jnp.int32)
+    i0 = jnp.mod(i0f.astype(jnp.int32), W)
+    right = jnp.roll(band, -1, axis=2)
+    down = jnp.roll(band, -1, axis=1)
+    diag = jnp.roll(right, -1, axis=1)
+    G = jnp.stack([band, right, down, diag], axis=1)        # [M,4,hb,W]
+    Gf = G.reshape(M * 4, hb * W)
+    flat_idx = (j0 * W + i0).ravel()
+    gathered = jnp.take(Gf, flat_idx, axis=1).reshape((M, 4) + out_shape)
+    w00 = (1.0 - fj) * (1.0 - fi)
+    w01 = (1.0 - fj) * fi
+    w10 = fj * (1.0 - fi)
+    w11 = fj * fi
+    return (gathered[:, 0] * w00 + gathered[:, 1] * w01
+            + gathered[:, 2] * w10 + gathered[:, 3] * w11)
 
 
 def advect_semilag_multi(fields: jax.Array, u: jax.Array, v: jax.Array, dt: float,
