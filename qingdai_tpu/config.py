@@ -736,6 +736,7 @@ class RunConfig:
     restart_out: Optional[str] = None
     autosave_enable: bool = True
     autosave_load: bool = True
+    nancheck: bool = False          # QD_DEBUG_NANCHECK: per-chunk finite check
     autosave_every_hours: float = 6.0
     load_ocean: bool = True
     load_plankton: bool = True
@@ -770,6 +771,7 @@ class RunConfig:
             restart_out=os.getenv("QD_RESTART_OUT") or None,
             autosave_enable=_b("QD_AUTOSAVE_ENABLE", True),
             autosave_load=_b("QD_AUTOSAVE_LOAD", True),
+            nancheck=_b("QD_DEBUG_NANCHECK", False),
             autosave_every_hours=_f("QD_ECO_AUTOSAVE_EVERY_HOURS", 6.0),
             load_ocean=_b("QD_LOAD_OCEAN", True),
             load_plankton=_b("QD_LOAD_PLANKTON", True),

@@ -571,6 +571,24 @@ def make_step_fn(model: Model, daily_mode: str = "cond"):
             od = ocean_diagnostics(grid, cfg.ocean, ocn)
             diag.update({"ocean_KE_mean": od["KE_mean"],
                          "ocean_U_max": od["U_max"]})
+            if cfg.ocean.energy_diag:
+                # [OceanE] scalars (ocean.py:446-516): effective surface heat
+                # flux (under-ice scaled by ice_qfac) and area-weighted SST
+                # means, globally and poleward of polar_lat_diag; the host
+                # forms implied/residual from successive samples
+                oceanf = ocean_mask
+                wa = grid.area_w
+                qfac = cfg.ocean.ice_qfac
+                eff_Q = jnp.where(oceanf & (~ice_mask), Q_net, 0.0)
+                if qfac > 0.0:
+                    eff_Q = eff_Q + qfac * jnp.where(oceanf & ice_mask, Q_net, 0.0)
+                polar = (jnp.abs(grid.lat_mesh) >= cfg.ocean.polar_lat_diag) & oceanf
+                wsum_o = jnp.sum(wa * oceanf) + 1e-15
+                wsum_p = jnp.sum(wa * polar) + 1e-15
+                diag["oceanE_Q_mean"] = jnp.sum(eff_Q * wa) / wsum_o
+                diag["oceanE_Qp_mean"] = jnp.sum(jnp.where(polar, eff_Q, 0.0) * wa) / wsum_p
+                diag["oceanE_sst_mean"] = jnp.sum(jnp.where(oceanf, ocn.sst, 0.0) * wa) / wsum_o
+                diag["oceanE_sstp_mean"] = jnp.sum(jnp.where(polar, ocn.sst, 0.0) * wa) / wsum_p
         if routing_on:
             diag.update({
                 "routing_ocean_inflow_kgps": routing_state.ocean_inflow_kgps,

@@ -141,6 +141,14 @@ def plot_true_color(world, t_days: float, out_dir: str) -> str:
     path = os.path.join(out_dir, f"truecolor_day_{t_days:07.1f}.png")
     fig.savefig(path, dpi=110, bbox_inches="tight")
     plt.close(fig)
+
+    # console echo consistent with the [SeaIce] logs (run_simulation.py:771-777)
+    w = np.maximum(np.cos(np.deg2rad(np.asarray(world.model.grid.lat_mesh))), 0.0)
+    h_ice = np.asarray(st.atmos.h_ice)
+    ice_m = (~land) & (ice_frac > 0.05)
+    area = float((w * ice_m).sum() / (w.sum() + 1e-15))
+    mean_h = float(h_ice[ice_m].mean()) if ice_m.any() else 0.0
+    print(f"[TrueColor] sea_ice_area≈{area:.3f}, mean_h_ice={mean_h:.3f} m")
     return path
 
 

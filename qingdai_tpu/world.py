@@ -45,6 +45,7 @@ class QingdaiWorld:
         self._chunk_key = None
         self._day_aligned = None  # resolved lazily at the first step_chunk
         self._hydro_prev = None  # (time_s, total_reservoir_mean)
+        self._oceanE_prev = None  # (sst_mean, sst_polar_mean) at last diag
         self._autosave_registered = False
         # single IO worker: NetCDF writes and rendering run off the chunk
         # loop's critical path (the reference blocks its loop on both;
@@ -105,7 +106,13 @@ class QingdaiWorld:
             if path and os.path.exists(path):
                 try:
                     network = hn.load_network_netcdf(path)
-                    self._log(f"[HydroRouting] Loaded network '{path}'.")
+                    shp = np.asarray(network["land_mask"]).shape
+                    if shp != np.asarray(land_mask).shape:
+                        self._log(f"[HydroRouting] '{path}' is {shp}, grid is "
+                                  f"{np.asarray(land_mask).shape}; regenerating.")
+                        network = None
+                    else:
+                        self._log(f"[HydroRouting] Loaded network '{path}'.")
                 except (OSError, KeyError) as e:
                     self._log(f"[HydroRouting] Load failed ({e}); regenerating.")
             if network is None:
@@ -113,11 +120,14 @@ class QingdaiWorld:
                                            elevation if elevation is not None
                                            else np.zeros_like(land_mask, float),
                                            land_mask)
-                try:
-                    hn.save_network_netcdf(path, network)
-                    self._log(f"[HydroRouting] Auto-generated network → '{path}'.")
-                except OSError:
-                    pass
+                if path and not os.path.exists(path):
+                    # never clobber an existing file (it may belong to a
+                    # different grid run sharing this working directory)
+                    try:
+                        hn.save_network_netcdf(path, network)
+                        self._log(f"[HydroRouting] Auto-generated network → '{path}'.")
+                    except OSError:
+                        pass
         self.network = network
 
         self.model = M.build_model(cfg, land_mask, base_albedo, friction,
@@ -349,7 +359,31 @@ class QingdaiWorld:
         self.t_seconds += n * self.model.dt
         # a non-day-multiple chunk leaves accum_t mid-day: stay on cond-mode
         self._day_aligned = self._day_aligned and (n % spd == 0)
+        if self.cfg.run.nancheck:
+            self._nancheck_async(self.state, self.t_seconds)
         return diags
+
+    def _nancheck_async(self, state_ref, t_sec):
+        """QD_DEBUG_NANCHECK=1: scan the state for non-finite leaves on the IO
+        worker (the reference's pervasive nan_to_num guards become an explicit
+        debug check here, SURVEY.md §5.2)."""
+        def check():
+            import numpy as _np
+            bad = []
+            # albedo caches carry NaN sentinels by design (land-only fields);
+            # everything else must stay finite
+            sub = {k: getattr(state_ref, k)
+                   for k in ("atmos", "ocean", "land", "energy", "clock",
+                             "eco", "indiv", "phyto", "routing")}
+            host = jax.device_get(sub)
+            for path, leaf in jax.tree_util.tree_flatten_with_path(host)[0]:
+                a = _np.asarray(leaf)
+                if a.dtype.kind == "f" and not _np.isfinite(a).all():
+                    bad.append(jax.tree_util.keystr(path))
+            if bad:
+                print(f"[NanCheck] t={t_sec:.0f}s: non-finite values in "
+                      f"{len(bad)} leaves: {', '.join(bad[:8])}")
+        self._io_futures.append(self._io_pool.submit(check))
 
     def _print_diags_async(self, diags, step0: int):
         """Queue diagnostic printing on the IO worker so the chunk loop never
@@ -402,6 +436,27 @@ class QingdaiWorld:
             if "ocean_KE_mean" in d:
                 print(f"[OceanDiag] KE_mean={d['ocean_KE_mean']:.3e} m2/s2 | "
                       f"Umax={d['ocean_U_max']:.2f} m/s")
+            if "oceanE_Q_mean" in d:
+                # implied ρc_pH·dT/dt vs effective Q_net (ocean.py:446-516);
+                # like the reference, dT spans the diag interval but is
+                # divided by a single step dt
+                oc = self.cfg.ocean
+                rhoCpH = oc.rho_w * oc.cp_w * oc.H_m
+                if self._oceanE_prev is None:
+                    implied = resid = implied_p = resid_p = 0.0
+                else:
+                    implied = rhoCpH * (d["oceanE_sst_mean"]
+                                        - self._oceanE_prev[0]) / self.model.dt
+                    implied_p = rhoCpH * (d["oceanE_sstp_mean"]
+                                          - self._oceanE_prev[1]) / self.model.dt
+                    resid = implied - d["oceanE_Q_mean"]
+                    resid_p = implied_p - d["oceanE_Qp_mean"]
+                self._oceanE_prev = (d["oceanE_sst_mean"], d["oceanE_sstp_mean"])
+                print(f"[OceanE] ⟨Q_net⟩={d['oceanE_Q_mean']:+.2f} W/m^2 | "
+                      f"implied={implied:+.2f} | resid={resid:+.2f}  "
+                      f"|| Polar(|lat|>={int(oc.polar_lat_diag)}°): "
+                      f"⟨Q⟩={d['oceanE_Qp_mean']:+.2f}, implied={implied_p:+.2f}, "
+                      f"resid={resid_p:+.2f}")
             if "routing_ocean_inflow_kgps" in d:
                 print(f"[HydroRoutingDiag] ocean_inflow="
                       f"{d['routing_ocean_inflow_kgps']:.3e} kg/s | "
