@@ -23,6 +23,10 @@ def main():
     ap.add_argument("--no-eco", action="store_true")
     ap.add_argument("--no-phyto", action="store_true")
     ap.add_argument("--no-routing", action="store_true")
+    ap.add_argument("--profile", metavar="DIR", default=None,
+                    help="capture a JAX profiler trace of one timed chunk "
+                         "into DIR (view with tensorboard or parse the "
+                         "xplane.pb; see docs/perf-notes.md)")
     args = ap.parse_args()
 
     os.environ["QD_N_LAT"] = str(args.nlat)
@@ -64,6 +68,14 @@ def main():
     state, _ = chunk(state)
     jax.block_until_ready(state)
     print(f"[Benchmark] compile+first chunk: {time.time()-t0:.1f}s")
+
+    if args.profile:
+        import jax.profiler
+        jax.profiler.start_trace(args.profile)
+        state, _ = chunk(state)
+        jax.block_until_ready(state)
+        jax.profiler.stop_trace()
+        print(f"[Benchmark] profiler trace written under {args.profile}")
 
     n_chunks = max(1, args.steps // chunk_steps)
     t0 = time.time()
