@@ -120,3 +120,29 @@ def test_orbax_checkpoint_roundtrip(tiny_env):
     for a, b in zip(jax.tree_util.tree_leaves(template),
                     jax.tree_util.tree_leaves(restored)):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_step_chunk_day_alignment_selection(tiny_env, monkeypatch):
+    """step_chunk picks the day-structured scan only when the chunk starts at
+    a day boundary AND covers whole days; otherwise the cond path runs."""
+    import dataclasses
+    monkeypatch.setenv("QD_DT_SECONDS", "7200")  # 10 steps/day
+    from qingdai_tpu.world import QingdaiWorld
+    w = QingdaiWorld.create_default()
+    spd = 10
+    # fresh init: aligned, whole-day chunk -> day-structured
+    w.step_chunk(2 * spd)
+    assert w._chunk_key == (2 * spd, True)
+    # non-day-multiple chunk -> cond path, and alignment is lost after it
+    w.step_chunk(spd // 2)
+    assert w._chunk_key == (spd // 2, False)
+    w.step_chunk(spd)
+    assert w._chunk_key == (spd, False)
+
+    # a world whose clock starts mid-day must never take the aligned path
+    w2 = QingdaiWorld.create_default()
+    w2.state = dataclasses.replace(
+        w2.state, clock=dataclasses.replace(
+            w2.state.clock, accum_t_day=jnp.asarray(7200.0, jnp.float32)))
+    w2.step_chunk(spd)
+    assert w2._chunk_key == (spd, False)
