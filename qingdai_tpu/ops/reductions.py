@@ -31,6 +31,8 @@ def masked_median_of_positive(x: jax.Array, fallback: float = 1e-6) -> jax.Array
     max·2⁻ⁱᵗᵉʳˢ, below one ulp of the data type, so the result matches the
     sort-based median to roundoff (asserted in tests/test_ops.py).
     """
+    if x.dtype == jnp.float32 and _use_pallas_median():
+        return _median_pos_pallas(x, fallback)
     flat = x.ravel()
     pos = flat > 0.0
     n = jnp.sum(pos)
@@ -55,6 +57,73 @@ def masked_median_of_positive(x: jax.Array, fallback: float = 1e-6) -> jax.Array
     lo, hi = jax.lax.fori_loop(0, iters, body, (lo0, hi0))
     med = 0.5 * (hi[0] + hi[1])
     return jnp.where(n > 0, med, jnp.asarray(fallback, x.dtype))
+
+
+def _median_pos_pallas_kernel(x_ref, out_ref):
+    """All 34 bisection iterations over a VMEM-resident block.
+
+    The jnp bisection emits 34 separate ~1 µs HBM-pass kernels per median;
+    here the array (260 KB at 181×360) is loaded into VMEM once and the
+    count loop runs entirely in-kernel. No gather/scatter is involved, so
+    this sidesteps Mosaic's dynamic-gather limitation (perf-notes backlog #1).
+    Padding convention: the caller pads with -1.0 (never counted as positive).
+    Counts are f32 sums — exact below 2^24 elements.
+    """
+    import jax.numpy as jnp
+    x = x_ref[:]
+    pos = x > 0.0
+    n = jnp.sum(jnp.where(pos, 1.0, 0.0))
+    k = n.astype(jnp.int32)
+    k1 = jnp.maximum((k - 1) // 2, 0) + 1   # 1-indexed target counts
+    k2 = jnp.maximum(k // 2, 0) + 1
+    neg = jnp.asarray(-jnp.inf, x.dtype)
+    hi0 = jnp.maximum(jnp.max(jnp.where(pos, x, neg)), 0.0)
+    z = jnp.asarray(0.0, x.dtype)
+
+    def body(_, c):
+        lo1, hi1, lo2, hi2 = c
+        m1 = 0.5 * (lo1 + hi1)
+        m2 = 0.5 * (lo2 + hi2)
+        c1 = jnp.sum(jnp.where(pos & (x <= m1), 1.0, 0.0))
+        c2 = jnp.sum(jnp.where(pos & (x <= m2), 1.0, 0.0))
+        ge1 = c1 >= k1.astype(c1.dtype)
+        ge2 = c2 >= k2.astype(c2.dtype)
+        return (jnp.where(ge1, lo1, m1), jnp.where(ge1, m1, hi1),
+                jnp.where(ge2, lo2, m2), jnp.where(ge2, m2, hi2))
+
+    lo1, hi1, lo2, hi2 = jax.lax.fori_loop(0, 34, body, (z, hi0, z, hi0))
+    out_ref[0, 0] = 0.5 * (hi1 + hi2)
+    out_ref[0, 1] = n
+
+
+def _median_pos_pallas(x: jax.Array, fallback: float) -> jax.Array:
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+    flat = x.ravel()
+    N = flat.shape[0]
+    cols = 128
+    rows = -(-N // cols)
+    pad = rows * cols - N
+    if pad:
+        flat = jnp.concatenate([flat, jnp.full((pad,), -1.0, flat.dtype)])
+    blk = flat.reshape(rows, cols)
+    out = pl.pallas_call(
+        _median_pos_pallas_kernel,
+        out_shape=jax.ShapeDtypeStruct((1, 2), flat.dtype),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec(memory_space=pltpu.SMEM),
+    )(blk)
+    return jnp.where(out[0, 1] > 0, out[0, 0], jnp.asarray(fallback, x.dtype))
+
+
+def _use_pallas_median() -> bool:
+    import os
+    if os.getenv("QD_PALLAS_MEDIAN", "1") != "1":
+        return False
+    try:
+        return jax.default_backend() == "tpu"
+    except Exception:
+        return False
 
 
 def masked_median_of_positive_sort(x: jax.Array, fallback: float = 1e-6) -> jax.Array:
