@@ -155,18 +155,17 @@ def _advect_windowed(fields, dep_j, dep_i, plan: AdvectPlan):
     else:
         ks = list(range(-K - 1, K + 2))
         ms = list(range(-KL, KL + 2))
-    # lat-rolled stacks: Gm[m] = roll(fields, -m, lat)
-    Gm = jnp.concatenate([jnp.roll(fields, -m, axis=1) for m in ms], axis=0)
-    # shared lon window (same weights for every lat shift)
-    C = jnp.zeros_like(Gm)
     one = jnp.asarray(1.0, fields.dtype)
-    for k in ks:
-        Wk = jnp.where(oi == k, one - fi, 0.0) + jnp.where(oi == k - 1, fi, 0.0)
-        C = C + Wk[None] * jnp.roll(Gm, -k, axis=2)
+    # direct accumulation over the (m, k) shift window: every term reads a
+    # shifted view of the SAME buffer, so XLA fuses the whole double loop
+    # into a single stencil-like pass — materializing lat-rolled stacks (the
+    # earlier formulation) cost n_m× more accumulator traffic
     out = jnp.zeros_like(fields)
-    for mi, m in enumerate(ms):
+    for m in ms:
         Wm = jnp.where(oj == m, one - fj, 0.0) + jnp.where(oj == m - 1, fj, 0.0)
-        out = out + Wm[None] * C[mi * M:(mi + 1) * M]
+        for k in ks:
+            Wk = jnp.where(oi == k, one - fi, 0.0) + jnp.where(oi == k - 1, fi, 0.0)
+            out = out + (Wm * Wk)[None] * jnp.roll(fields, (-m, -k), axis=(1, 2))
 
     if plan.exact_rows:
         bands = _exact_bands(plan.exact_rows, H)
