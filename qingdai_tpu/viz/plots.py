@@ -92,8 +92,52 @@ def plot_true_color(world, t_days: float, out_dir: str) -> str:
     land_col = np.stack([0.45 + 0.3 * e, 0.38 + 0.2 * e, 0.26 + 0.2 * e], -1)
     rgb[land] = land_col[land]
 
-    # vegetation greening by LAI
-    if st.eco is not None:
+    # spectral color machinery (run_simulation.py:600-720): per-band surface
+    # reflectance → RGB via Gaussian color-matching weights, modulated by the
+    # irradiance-relative band weights of the two suns at this instant —
+    # vegetation color literally follows the evolved genes' reflectance
+    es = getattr(world.model, "eco_static", None)
+    w_rel = None
+    if es is not None:
+        from ..physics import forcing
+        from ..ecology.spectral import dual_star_insolation_to_bands
+        insA, insB = forcing.insolation_components_from_phases(
+            world.model.grid, st.clock.phase_rot, st.clock.phase_binary,
+            st.clock.phase_planet)
+        I_b = np.asarray(dual_star_insolation_to_bands(
+            insA, insB, es.specA, es.specB, es.T_ray))      # [NB,H,W]
+        I_tot = np.maximum(np.asarray(insA) + np.asarray(insB), 0.0)
+        # night side keeps zero weights → reflected color goes dark, which is
+        # what draws the terminator (run_simulation.py:616-621)
+        w_rel = np.where(I_tot[None] > 1e-12, I_b / (I_tot[None] + 1e-12), 0.0)
+        lam = np.asarray(es.lambda_centers)
+
+        def _cw(mu, sig):
+            w = np.exp(-((lam - mu) ** 2) / (2.0 * sig ** 2))
+            return w / (w.sum() + 1e-12)
+        wr, wg, wb = _cw(610.0, 50.0), _cw(550.0, 40.0), _cw(460.0, 40.0)
+        gamma = float(os.getenv("QD_ECO_TRUECOLOR_GAMMA", "1.8"))
+
+        def _bands_to_rgb(A):
+            chans = [np.nansum(A * (w[:, None, None] * w_rel), axis=0)
+                     for w in (wr, wg, wb)]
+            out = np.clip(np.stack(chans, -1), 0.0, 1.0)
+            if gamma > 0:
+                out = out ** (1.0 / gamma)
+            return out
+
+    # vegetation: banded surface albedo where ecology is active
+    if st.eco is not None and es is not None:
+        from ..ecology import population as pop_mod
+        lai = np.asarray(st.eco.LAI_SK).sum(axis=(0, 1))
+        f = 1.0 - np.exp(-0.5 * np.maximum(lai, 0))
+        A_veg = np.asarray(pop_mod.surface_albedo_bands(es, st.eco,
+                                                        world.cfg.ecology))
+        veg = _bands_to_rgb(np.nan_to_num(A_veg))
+        m = land & (f > 0.02)
+        a = f[..., None]
+        rgb[m] = ((1 - a) * rgb + a * veg)[m]
+    elif st.eco is not None:
         lai = np.asarray(st.eco.LAI_SK).sum(axis=(0, 1))
         f = 1.0 - np.exp(-0.5 * np.maximum(lai, 0))
         veg = np.stack([0.10 + 0 * f, 0.35 + 0.25 * f, 0.10 + 0 * f], -1)
@@ -101,8 +145,13 @@ def plot_true_color(world, t_days: float, out_dir: str) -> str:
         a = f[..., None]
         rgb[m] = ((1 - a) * rgb + a * veg)[m]
 
-    # ocean color from phyto albedo
-    if st.phyto is not None:
+    # ocean color from the phyto banded reflectance (falls back to a
+    # chlorophyll-keyed tint when the band machinery is off)
+    if st.phyto is not None and es is not None:
+        water = _bands_to_rgb(np.asarray(st.phyto.alpha_bands))
+        m = ~land
+        rgb[m] = (0.6 * rgb + 0.4 * water)[m]
+    elif st.phyto is not None:
         chl = np.asarray(st.phyto.C_phyto).sum(axis=0)
         g = np.clip(chl / 2.0, 0, 1)
         oc = np.stack([0.05 + 0.05 * g, 0.15 + 0.45 * g, 0.35 - 0.1 * g], -1)
