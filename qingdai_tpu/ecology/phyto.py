@@ -206,13 +206,17 @@ def phyto_apply_transport(ps: PhytoStatic, st: PhytoState, cfg: PhytoConfig,
             lambda x: laplacian_sphere(x, grid.dlat_rad, grid.dlon_rad, coslat, a))(C)
     C = jnp.where(ps.ocean[None], jnp.clip(C, 0.0, jnp.inf), 0.0)
 
-    # polar ring averaging (phyto.py:531-547)
+    # polar ring averaging (phyto.py:531-547) — both rows in one fused pass
+    H = C.shape[1]
+    news = []
     for row in (0, -1):
         m = ps.ocean[row, :]
         cnt = jnp.maximum(jnp.sum(m), 1)
         mean_row = jnp.sum(jnp.where(m[None], C[:, row, :], 0.0), axis=1) / cnt
-        newrow = jnp.where(m[None] & jnp.any(m), mean_row[:, None], C[:, row, :])
-        C = C.at[:, row, :].set(newrow)
+        news.append(jnp.where(m[None] & jnp.any(m), mean_row[:, None], C[:, row, :]))
+    rows = jax.lax.broadcasted_iota(jnp.int32, C.shape, 1)
+    C = jnp.where(rows == 0, news[0][:, None, :],
+                  jnp.where(rows == H - 1, news[1][:, None, :], C))
 
     return dataclasses.replace(st, C_phyto=C)
 

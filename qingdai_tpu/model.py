@@ -162,7 +162,8 @@ def init_world(model: Model, t0_seconds: float = 0.0, seed: int = 42,
 # The step
 # ---------------------------------------------------------------------------
 
-def make_step_fn(model: Model, daily_mode: str = "cond"):
+def make_step_fn(model: Model, daily_mode: str = "cond",
+                 phyto_mode: str = "cond"):
     """Returns step(state) -> (state, diag) — pure, jittable, scannable.
 
     ``daily_mode`` controls the day-boundary block (ecology/individual daily
@@ -174,8 +175,14 @@ def make_step_fn(model: Model, daily_mode: str = "cond"):
     block behind a per-step lax.cond costs ~0.13 ms/step on TPU (the cond
     forces buffer copies of the eco tensors every iteration), while a
     straight-line daily step once per day costs its true ~4 ms/day.
+
+    ``phyto_mode`` does the same for the phytoplankton daily cond (its
+    accumulator fires on step 1 of a fresh run and then at each day
+    boundary; the day-aligned chunk keeps the dynamic cond only on the
+    first step of each day).
     """
     assert daily_mode in ("cond", "off", "on")
+    assert phyto_mode in ("cond", "off", "on")
     grid = model.grid
     cfg = model.cfg
     static = model.static
@@ -360,9 +367,13 @@ def make_step_fn(model: Model, daily_mode: str = "cond"):
                                                  cfg.phyto, insA, insB, T_w)
                 return pst, pst.alpha_scalar, jnp.asarray(True), pacc - day_s
 
-            phyto_state, alpha_water, has_water, phyto_accum = cond_keep_dtypes(
-                phyto_accum >= day_s, phyto_daily, lambda a: a,
-                (phyto_state, alpha_water, has_water, phyto_accum))
+            args = (phyto_state, alpha_water, has_water, phyto_accum)
+            if phyto_mode == "cond":
+                args = cond_keep_dtypes(phyto_accum >= day_s, phyto_daily,
+                                        lambda a: a, args)
+            elif phyto_mode == "on":
+                args = phyto_daily(args)
+            phyto_state, alpha_water, has_water, phyto_accum = args
 
         # ---- albedo synthesis (:2063-2146) ----
         H_ice_ref = pcfg.h_ice_ref
@@ -628,17 +639,23 @@ def make_chunk_fn(model: Model, chunk_steps: Optional[int] = None,
 
         return chunk
 
-    step_off = make_step_fn(model, daily_mode="off")
-    step_on = make_step_fn(model, daily_mode="on")
+    # step 1 of each day keeps the dynamic phyto cond (a fresh run's
+    # accumulator fires there); steps 2..N-1 are fully static-off; step N
+    # runs both daily blocks statically on
+    step_first = make_step_fn(model, daily_mode="off", phyto_mode="cond")
+    step_off = make_step_fn(model, daily_mode="off", phyto_mode="off")
+    step_on = make_step_fn(model, daily_mode="on", phyto_mode="on")
     n_days = n // spd
 
     def chunk(state: WorldState):
         def day(s, _):
+            s, d0 = step_first(s)
             s, d1 = jax.lax.scan(lambda s2, _: step_off(s2), s, None,
-                                 length=spd - 1)
+                                 length=spd - 2)
             s, d2 = step_on(s)
             d = jax.tree.map(
-                lambda a, b: jnp.concatenate([a, b[None]], axis=0), d1, d2)
+                lambda a, b, c: jnp.concatenate([a[None], b, c[None]], axis=0),
+                d0, d1, d2)
             return s, d
         state, diags = jax.lax.scan(day, state, None, length=n_days)
         diags = jax.tree.map(

@@ -49,18 +49,22 @@ def static_substeps(grid: Grid, cfg: OceanConfig, dt: float) -> int:
 
 # ---------------- polar ring corrections (ocean.py:196-262) ----------------
 
-def _polar_scalar_fill(F, ocean_mask, row):
+def _polar_row_mean(F, ocean_mask, row):
     m = ocean_mask[row, :]
     any_o = jnp.any(m)
     mean = jnp.sum(jnp.where(m, F[row, :], 0.0)) / jnp.maximum(jnp.sum(m), 1)
-    newrow = jnp.where(m & any_o, mean, F[row, :])
-    return F.at[row, :].set(newrow)
+    return jnp.where(m & any_o, mean, F[row, :])
 
 
 def polar_scalar_average_fill(F, ocean_mask):
-    F = _polar_scalar_fill(F, ocean_mask, 0)
-    F = _polar_scalar_fill(F, ocean_mask, -1)
-    return F
+    """Replace both pole rows by their ocean ring means in ONE fused pass —
+    a per-row .at[row].set() copies the whole buffer per row on TPU."""
+    H = F.shape[0]
+    rows = jax.lax.broadcasted_iota(jnp.int32, F.shape, 0)
+    top = _polar_row_mean(F, ocean_mask, 0)
+    bot = _polar_row_mean(F, ocean_mask, -1)
+    return jnp.where(rows == 0, top[None, :],
+                     jnp.where(rows == H - 1, bot[None, :], F))
 
 
 def _polar_vector_fill(u, v, ocean_mask, lons_rad, row, north: bool):
@@ -83,12 +87,17 @@ def _polar_vector_fill(u, v, ocean_mask, lons_rad, row, north: bool):
     v_fill = enx * mx + eny * my
     u_new = jnp.where(m & any_o, u_fill, u_r)
     v_new = jnp.where(m & any_o, v_fill, v_r)
-    return u.at[row, :].set(u_new), v.at[row, :].set(v_new)
+    return u_new, v_new
 
 
 def polar_vector_average_fill(u, v, ocean_mask, lons_rad):
-    u, v = _polar_vector_fill(u, v, ocean_mask, lons_rad, 0, north=False)
-    u, v = _polar_vector_fill(u, v, ocean_mask, lons_rad, -1, north=True)
+    """Both pole rows in one fused pass (see polar_scalar_average_fill)."""
+    H = u.shape[0]
+    rows = jax.lax.broadcasted_iota(jnp.int32, u.shape, 0)
+    u0, v0 = _polar_vector_fill(u, v, ocean_mask, lons_rad, 0, north=False)
+    u1, v1 = _polar_vector_fill(u, v, ocean_mask, lons_rad, -1, north=True)
+    u = jnp.where(rows == 0, u0[None, :], jnp.where(rows == H - 1, u1[None, :], u))
+    v = jnp.where(rows == 0, v0[None, :], jnp.where(rows == H - 1, v1[None, :], v))
     return u, v
 
 

@@ -346,9 +346,14 @@ class QingdaiWorld:
         if self._day_aligned is None:
             # host check once: the day-structured chunk is only valid when the
             # chunk starts exactly at a day boundary (fresh init or an
-            # autosave written at a chunk boundary)
-            self._day_aligned = (
-                float(jax.device_get(self.state.clock.accum_t_day)) == 0.0)
+            # autosave written at a chunk boundary) AND the phyto accumulator
+            # is in one of its two boundary states (0, or a fresh init's
+            # first-fire sentinel = one day)
+            acc0 = float(jax.device_get(self.state.clock.accum_t_day))
+            pa0 = float(jax.device_get(self.state.clock.phyto_accum))
+            day_s = float(self.model.day_seconds)
+            self._day_aligned = (acc0 == 0.0
+                                 and (pa0 == 0.0 or abs(pa0 - day_s) < 1e-3))
         aligned = bool(self._day_aligned and n % spd == 0)
         key = (n, aligned)
         if self._chunk_fn is None or self._chunk_key != key:
