@@ -20,6 +20,69 @@ def area_mean(x: jax.Array, w: jax.Array, mask: jax.Array | None = None) -> jax.
     return jnp.sum(x * w) / (jnp.sum(w) + 1e-15)
 
 
+# ---------------------------------------------------------------------------
+# Compensated (float-float) summation — accumulation islands for the budget
+# closure diagnostics. The reference accumulates its global closure sums in
+# f64 NumPy (hydrology.py:270-340, energy.py:494-538, routing.py:320-331);
+# the TPU model runs f32, where a plain 65k-element tree sum carries ~1e-6
+# relative error — the same order as the physical residuals being measured.
+# A double-single pairwise reduction keeps ~48 bits through the sum, so the
+# emitted f32 scalar is correct to its last ulp and the residual floor is
+# set by the model, not the diagnostic.
+# ---------------------------------------------------------------------------
+
+def _two_sum(a, b):
+    """Knuth TwoSum: s = fl(a+b) and the exact roundoff e (a+b = s+e)."""
+    s = a + b
+    bb = s - a
+    e = (a - (s - bb)) + (b - bb)
+    return s, e
+
+
+def sum_compensated(x: jax.Array) -> jax.Array:
+    """Float-float pairwise sum of all elements; returns (hi, lo) pair.
+
+    Halve-and-TwoSum tree: log2(n) unrolled levels of vector ops, each
+    carrying an exact roundoff channel, renormalized per level. Relative
+    error ~2⁻⁴⁸ for f32 input — effectively an f64 accumulator without
+    enabling x64. Cost ≈ 2 plain sums (the shrinking levels total ~2n
+    elementwise flops, fused by XLA)."""
+    flat = x.ravel()
+    n = flat.shape[0]
+    if n == 0:
+        z = jnp.zeros((), x.dtype)
+        return z, z
+    p = 1 << max(0, int(n - 1).bit_length())
+    if p != n:
+        flat = jnp.concatenate([flat, jnp.zeros((p - n,), flat.dtype)])
+    hi, lo = flat, jnp.zeros_like(flat)
+    while hi.shape[0] > 1:
+        h = hi.shape[0] // 2
+        s, e = _two_sum(hi[:h], hi[h:])
+        t = lo[:h] + lo[h:] + e
+        # renormalize so |lo| stays ≤ ulp(hi)
+        hi, e2 = _two_sum(s, t)
+        lo = e2
+    return hi[0], lo[0]
+
+
+def area_mean_compensated(x: jax.Array, w: jax.Array,
+                          mask: jax.Array | None = None) -> jax.Array:
+    """area_mean with float-float numerator/denominator accumulation.
+
+    Per-element products still round once at working precision (bounded by
+    one ulp each, uncorrelated); the summation itself adds nothing. Returns
+    a working-precision scalar."""
+    dtype = jnp.result_type(x, w)
+    x = x.astype(dtype)
+    w = w.astype(dtype)
+    if mask is not None:
+        w = w * mask
+    nh, nl = sum_compensated(x * w)
+    dh, dl = sum_compensated(w)
+    return (nh + nl) / (dh + dl + 1e-15)
+
+
 def masked_median_of_positive(x: jax.Array, fallback: float = 1e-6) -> jax.Array:
     """Median over strictly positive entries of x; ``fallback`` if none.
 

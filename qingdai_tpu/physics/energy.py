@@ -159,10 +159,16 @@ def integrate_atmos_energy_height(h, SW_atm, LW_atm, SH, LH_release, dt,
 
 
 def energy_diagnostics(area_w, I, R, OLR, SW_sfc, LW_sfc, SH, LH):
-    """Area-weighted TOA/SFC/ATM budget scalars (energy.py:494-538)."""
+    """Area-weighted TOA/SFC/ATM budget scalars (energy.py:494-538).
+
+    Float-float accumulation: TOA_net means ~0.1 W/m² emerge from the
+    cancellation of ~340 W/m² fields; a plain f32 tree sum carries
+    ~3e-4 W/m² of reduction noise against the 0.2 W/m² acceptance
+    threshold, the compensated sum ~1e-10."""
+    from ..ops.reductions import area_mean_compensated
     TOA_net = I - R - OLR
     SFC_net = SW_sfc - LW_sfc - SH - LH
-    wm = lambda x: area_mean(x, area_w)
+    wm = lambda x: area_mean_compensated(x, area_w)
     toa = wm(TOA_net)
     sfc = wm(SFC_net)
     return {

@@ -76,8 +76,14 @@ def water_closure_means(area_w, q, rho_a, h_mbl, h_ice, rho_i, W_land, S_snow,
                         E_flux, P_flux, R_flux):
     """Area-weighted reservoir/flux means for the closure diagnostic
     (hydrology.py:270-340). d/dt and residual are formed host-side from
-    successive samples."""
-    wm = lambda x: area_mean(x, area_w)
+    successive samples.
+
+    Float-float accumulation: the reference sums these in f64 NumPy; in f32
+    a plain tree sum's ~1e-6 relative error on reservoirs of O(10³ kg/m²)
+    would alias into the d/dt residual at the same order as the physics
+    signal (SURVEY §7.3 'Precision')."""
+    from ..ops.reductions import area_mean_compensated
+    wm = lambda x: area_mean_compensated(x, area_w)
     CWV_mean = wm(rho_a * h_mbl * q)
     ICE_mean = wm(rho_i * h_ice)
     W_mean = wm(W_land)

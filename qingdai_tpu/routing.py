@@ -170,11 +170,9 @@ def _route_event(rs: RoutingStatic, acc: jax.Array, lake_volume: jax.Array):
     downstream position sits at a strictly higher level, carry[s:e] is final
     once level ℓ is processed — the finished carry IS the per-cell
     throughput."""
+    from .ops.reductions import sum_compensated
     carry = jnp.take(acc, rs.order)                 # [n_land] mass, level-sorted
-    mass_in = jnp.sum(carry)
-    ocean_out = jnp.asarray(0.0, acc.dtype)
-    store_out = jnp.asarray(0.0, acc.dtype)
-    lake_vol = lake_volume
+    mi_h, mi_l = sum_compensated(carry)
     starts = rs.level_starts
     for l in range(rs.n_levels):
         s, e = starts[l], starts[l + 1]
@@ -183,18 +181,24 @@ def _route_event(rs: RoutingStatic, acc: jax.Array, lake_volume: jax.Array):
         m = jax.lax.slice_in_dim(carry, s, e)
         to_ocean = jax.lax.slice_in_dim(rs.to_ocean_ordered, s, e)
         to_store = jax.lax.slice_in_dim(rs.to_store_ordered, s, e)
-        ocean_out = ocean_out + jnp.sum(jnp.where(to_ocean, m, 0.0))
-        stored = jnp.where(to_store, m, 0.0)
-        store_out = store_out + jnp.sum(stored)
-        if rs.n_lakes > 0:
-            slot = jax.lax.slice_in_dim(rs.lake_slot_ordered, s, e)
-            lake_vol = lake_vol.at[slot].add(stored)
         fwd = jnp.where(to_ocean | to_store, 0.0, m)
         dnp = jax.lax.slice_in_dim(rs.dn_pos_ordered, s, e)
         carry = carry.at[dnp].add(fwd)
+    # carry[i] is final once level(i) has processed: downstream positions sit
+    # at strictly higher levels, so ocean/store rows can be summed once at
+    # the end (float-float, matching the reference's f64 closure arithmetic)
+    # instead of per level.
+    stored = jnp.where(rs.to_store_ordered, carry, 0.0)
+    oo_h, oo_l = sum_compensated(jnp.where(rs.to_ocean_ordered, carry, 0.0))
+    so_h, so_l = sum_compensated(stored)
+    lake_vol = lake_volume
+    if rs.n_lakes > 0:
+        lake_vol = lake_vol.at[rs.lake_slot_ordered].add(stored)
     flow_accum = jnp.zeros_like(acc).at[rs.order].set(carry)
+    ocean_out = oo_h + oo_l
+    store_out = so_h + so_l
     # exact-arithmetic zero, like the reference loop's leftover sum
-    residual = mass_in - ocean_out - store_out
+    residual = (mi_h - oo_h - so_h) + (mi_l - oo_l - so_l)
     return flow_accum, ocean_out, lake_vol, residual
 
 
@@ -209,9 +213,11 @@ def routing_step(rs: RoutingStatic, state: RoutingState, cfg: HydrologyConfig,
     t_accum = state.t_accum + dt
 
     def fire(_):
+        from .ops.reductions import sum_compensated
         event_dt = t_accum
         acc = buffer_kg
-        mass_input = jnp.sum(acc)
+        mi_h, mi_l = sum_compensated(jnp.where(rs.land_flat, acc, 0.0))
+        mass_input = mi_h + mi_l
         lake_vol = state.lake_volume_kg
         flow_accum, ocean_out, lake_vol, residual = _route_event(rs, acc, lake_vol)
 
@@ -219,7 +225,8 @@ def routing_step(rs: RoutingStatic, state: RoutingState, cfg: HydrologyConfig,
         lake_delta = jnp.asarray(0.0, acc.dtype)
         if rs.n_lakes > 0 and cfg.treat_lake_as_water:
             net = (precip_flux.ravel() - evap_flux.ravel()) * rs.cell_area_flat * event_dt
-            lake_add = jnp.sum(jnp.where(rs.lake_mask_flat, net, 0.0))
+            la_h, la_l = sum_compensated(jnp.where(rs.lake_mask_flat, net, 0.0))
+            lake_add = la_h + la_l
             lake_vol = lake_vol + rs.lake_area_frac * lake_add
             lake_delta = lake_add
 

@@ -187,3 +187,64 @@ def test_windowed_advect_matches_gather(rng):
                                plan=plan)
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
                                rtol=1e-10, atol=1e-12)
+
+
+def test_sum_compensated_f32_matches_f64_oracle(rng):
+    """Float-float pairwise sum recovers the f64-exact sum of f32 inputs
+    where a plain f32 tree sum loses ~1e-6 relative (SURVEY §7.3)."""
+    import jax.numpy as jnp
+    from qingdai_tpu.ops.reductions import sum_compensated
+
+    # adversarial: one huge value + 65k tiny ones (glacier SWE vs snowfall)
+    x = np.full(65161, 1e-3, np.float32)
+    x[0] = 1e8
+    oracle = np.sum(x.astype(np.float64))
+    hi, lo = sum_compensated(jnp.asarray(x))
+    got = float(np.float64(hi) + np.float64(lo))
+    assert abs(got - oracle) / oracle < 1e-12
+    plain = float(jnp.sum(jnp.asarray(x)))
+    assert abs(plain - oracle) / oracle > 1e-7  # plain sum provably loses it
+
+    # cancellation-heavy mixed-sign (TOA_net-like: ±340 fields, mean ~0)
+    y = (1000.0 * rng.standard_normal(181 * 360)).astype(np.float32)
+    oracle = np.sum(y.astype(np.float64))
+    hi, lo = sum_compensated(jnp.asarray(y))
+    got = float(np.float64(hi) + np.float64(lo))
+    assert abs(got - oracle) <= 1e-3  # |Σ| ~ 2.5e5; f64-level accuracy
+
+    # empty and length-1 edges
+    hi, lo = sum_compensated(jnp.zeros((0,), jnp.float32))
+    assert float(hi) == 0.0 and float(lo) == 0.0
+    hi, lo = sum_compensated(jnp.asarray([3.5], jnp.float32))
+    assert float(hi) == 3.5
+
+
+def test_area_mean_compensated(rng, small_grid):
+    import jax.numpy as jnp
+    from qingdai_tpu.ops.reductions import area_mean, area_mean_compensated
+
+    w = small_grid.area_w  # f32 area weights ~1e10 m² (the production shape)
+    x = jnp.asarray(rng.standard_normal(w.shape))
+
+    def oracle(xv, wv, mv=None):
+        xl = np.asarray(xv, np.longdouble)
+        wl = np.asarray(wv, np.longdouble)
+        if mv is not None:
+            wl = wl * np.asarray(mv)
+        return float((xl * wl).sum() / wl.sum())
+
+    scale = float(jnp.sum(jnp.abs(x * w)) / jnp.sum(w))
+    got = float(area_mean_compensated(x, w))
+    assert abs(got - oracle(x, w)) < 1e-12 * scale
+    # plain area_mean's f32 Σw denominator alone costs ~1e-7 relative here
+    assert abs(float(area_mean(x, w)) - oracle(x, w)) > 1e-13 * scale
+    mask = jnp.asarray(rng.random(w.shape) > 0.5)
+    got_m = float(area_mean_compensated(x, w, mask=mask))
+    assert abs(got_m - oracle(x, w, mask)) < 1e-11 * scale
+
+    # f32 reservoir-like field: big offset + small signal
+    xf = (1e5 + rng.standard_normal(w.shape)).astype(np.float32)
+    wf = np.asarray(w, np.float32)
+    oracle = float((xf.astype(np.float64) * wf).sum() / wf.astype(np.float64).sum())
+    got = float(area_mean_compensated(jnp.asarray(xf), jnp.asarray(wf)))
+    assert abs(got - oracle) / oracle < 1e-6  # bounded by per-product rounding
