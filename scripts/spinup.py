@@ -1,0 +1,249 @@
+#!/usr/bin/env python3
+"""Spin-up SOP runner: two-phase equilibration + acceptance metrics.
+
+Implements the reference spin-up protocol
+(/root/reference/docs/11-spin-up-and-restarts.md:38-54, 115-137) scaled to a
+configurable year count:
+
+  Phase 1 "rapid equilibration": shallow mixed layer (QD_MLD_M=5) from a fresh
+    init, so the slab ocean's thermal e-folding time drops ~10x.
+  Phase 2 "true equilibrium": restart from phase 1 with the physical mixed
+    layer (default 50 m) and integrate to steady state.
+
+Acceptance (docs/11.3 phase-2 criteria, evaluated as multi-year means over the
+trailing --eval-years window of phase 2):
+  |<TOA_net>| <= 0.2 W/m^2          (docs/11:49)
+  |d<Ts>/dt|  <  0.02 K/decade      (decade = 10 Qingdai years; docs/11:50)
+  <E> ~= <P> + <R>                  (water closure, docs/11:128-131)
+  <LH> ~= <LH_release>              (latent-heat consistency, docs/11:132-134)
+  routing mass-closure error ~= 0   (routing.py:320-331 semantics)
+  d/dt total water reservoir ~= 0
+
+Writes a machine-readable SPINUP.json (consumed by
+tests/test_spinup_acceptance.py) and phase restart files
+data/restart_phase{1,2}.nc.
+
+Usage:
+  python -m scripts.spinup --phase1-years 30 --phase2-years 30 --eval-years 15
+"""
+
+import argparse
+import json
+import os
+import sys
+import time
+from concurrent.futures import ThreadPoolExecutor
+
+import numpy as np
+
+sys.path.append(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+# diag scalars aggregated per chunk (means over the chunk's steps)
+KEYS = ("TOA_net", "SFC_net", "ATM_net", "Ts_mean", "E_mean", "P_mean",
+        "R_mean", "LH_mean", "LH_release_mean", "total_reservoir_mean",
+        "CWV_mean", "ICE_mean", "W_land_mean", "S_snow_mean")
+OPT_KEYS = ("routing_mass_error_kg", "routing_ocean_inflow_kgps")
+
+
+def run_phase(name, years, env, chunk_days=10, verbose_every=50):
+    """Run one phase in a fresh world under `env` overrides; returns the
+    per-chunk diagnostic time series (dict of np arrays + t_years axis)."""
+    import jax
+    from qingdai_tpu.config import SimConfig
+    from qingdai_tpu.physics.orbital import T_PLANET
+    from qingdai_tpu.world import QingdaiWorld
+    from qingdai_tpu.io import netcdf as ncio
+
+    old = {k: os.environ.get(k) for k in env}
+    os.environ.update({k: str(v) for k, v in env.items()})
+    try:
+        cfg = SimConfig.from_env()
+    finally:
+        for k, v in old.items():
+            if v is None:
+                os.environ.pop(k, None)
+            else:
+                os.environ[k] = v
+
+    world = QingdaiWorld(cfg, verbose=False)
+    spd = int(round(world.model.day_seconds / world.model.dt))
+    chunk = spd * chunk_days
+    total_steps = int(round(years * T_PLANET / world.model.dt))
+    n_chunks = max(1, total_steps // chunk)
+
+    print(f"[Spinup:{name}] {years} yr = {n_chunks} chunks x {chunk} steps "
+          f"(grid {cfg.run.n_lat}x{cfg.run.n_lon}, MLD={cfg.ocean.H_m} m, "
+          f"t0={world.t_seconds/world.day_seconds:.1f} d)")
+
+    series = {k: [] for k in KEYS + OPT_KEYS}
+    t_years = []
+    pool = ThreadPoolExecutor(max_workers=1, thread_name_prefix="spinup-io")
+    futures = []
+
+    def reduce_chunk(diags_ref, t_yr):
+        d = jax.device_get(diags_ref)
+        row = {}
+        for k in KEYS:
+            row[k] = float(np.mean(d[k]))
+        for k in OPT_KEYS:
+            row[k] = float(np.mean(d[k])) if k in d else float("nan")
+        return t_yr, row
+
+    t_wall0 = time.time()
+    for c in range(n_chunks):
+        diags = world.step_chunk(chunk)
+        t_yr = (world.t_seconds - world.t0_seconds) / T_PLANET
+        futures.append(pool.submit(reduce_chunk, diags, t_yr))
+        if (c + 1) % verbose_every == 0 or c == n_chunks - 1:
+            jax.block_until_ready(diags["Ts_mean"])
+            el = time.time() - t_wall0
+            done_yr = (c + 1) * chunk * world.model.dt / T_PLANET
+            print(f"[Spinup:{name}] {done_yr:.1f}/{years} yr | "
+                  f"{done_yr / max(el / 3600, 1e-9):.1f} sim-yr/h", flush=True)
+
+    for f in futures:
+        t_yr, row = f.result()
+        t_years.append(t_yr)
+        for k, v in row.items():
+            series[k].append(v)
+    pool.shutdown()
+
+    # phase restart artifacts: the standard autosave set (phase hand-off) plus
+    # a named snapshot for the record (docs/11 restart_phase{1,2}.nc)
+    world.autosave()
+    ncio.save_restart(os.path.join("data", f"restart_{name}.nc"),
+                      world.lat, world.lon, jax.device_get(world.state),
+                      world.land_mask, t_seconds=world.t_seconds)
+    out = {k: np.asarray(v) for k, v in series.items()}
+    out["t_years"] = np.asarray(t_years)
+    ts = np.asarray(world.state.atmos.T_s)
+    assert np.isfinite(ts).all(), f"phase {name} ended with non-finite T_s"
+    return out
+
+
+def acceptance_metrics(series, eval_years):
+    """Multi-year means + trends over the trailing eval window (docs/11.3)."""
+    from qingdai_tpu.physics.orbital import T_PLANET
+    t = series["t_years"]
+    sel = t >= (t[-1] - eval_years)
+    n_eval = int(sel.sum())
+    w = {k: series[k][sel] for k in series if k != "t_years"}
+    te = t[sel]
+
+    # linear Ts trend in K per decade (10 Qingdai years)
+    slope_per_year = float(np.polyfit(te, w["Ts_mean"], 1)[0])
+    dTs_per_decade = slope_per_year * 10.0
+
+    e_mean = float(np.mean(w["E_mean"]))
+    p_mean = float(np.mean(w["P_mean"]))
+    r_mean = float(np.mean(w["R_mean"]))
+    water_resid = e_mean - (p_mean + r_mean)
+    # total-reservoir drift measured endpoint-to-endpoint (kg/m^2/s)
+    dt_span = (te[-1] - te[0]) * T_PLANET
+    res_drift = float((w["total_reservoir_mean"][-1]
+                       - w["total_reservoir_mean"][0]) / max(dt_span, 1.0))
+    lh = float(np.mean(w["LH_mean"]))
+    lh_rel = float(np.mean(w["LH_release_mean"]))
+
+    rme = w["routing_mass_error_kg"]
+    rme = rme[np.isfinite(rme)]
+    return {
+        "eval_years": eval_years,
+        "n_eval_chunks": n_eval,
+        "TOA_net_mean_Wm2": float(np.mean(w["TOA_net"])),
+        "SFC_net_mean_Wm2": float(np.mean(w["SFC_net"])),
+        "ATM_net_mean_Wm2": float(np.mean(w["ATM_net"])),
+        "Ts_mean_K": float(np.mean(w["Ts_mean"])),
+        "dTs_dt_K_per_decade": dTs_per_decade,
+        "E_mean_kgm2s": e_mean,
+        "P_mean_kgm2s": p_mean,
+        "R_mean_kgm2s": r_mean,
+        "water_residual_kgm2s": water_resid,
+        "water_residual_rel": water_resid / max(abs(e_mean), 1e-30),
+        "reservoir_drift_kgm2s": res_drift,
+        "LH_mean_Wm2": lh,
+        "LH_release_mean_Wm2": lh_rel,
+        "LH_consistency_rel": (lh - lh_rel) / max(abs(lh), 1e-30),
+        "routing_mass_error_kg_mean": float(np.mean(rme)) if rme.size else None,
+    }
+
+
+def main():
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--phase1-years", type=float, default=30.0)
+    ap.add_argument("--phase2-years", type=float, default=30.0)
+    ap.add_argument("--eval-years", type=float, default=15.0)
+    ap.add_argument("--mld1", type=float, default=5.0)
+    ap.add_argument("--mld2", type=float, default=50.0)
+    ap.add_argument("--nlat", type=int, default=181)
+    ap.add_argument("--nlon", type=int, default=360)
+    ap.add_argument("--chunk-days", type=int, default=10)
+    ap.add_argument("--out", default="SPINUP.json")
+    ap.add_argument("--skip-phase1", action="store_true",
+                    help="resume: phase 2 only, from the existing autosave")
+    ap.add_argument("--cpu", action="store_true",
+                    help="force the CPU backend (smoke tests; the env-var "
+                         "route is ignored by this machine's sitecustomize)")
+    args = ap.parse_args()
+
+    if args.cpu:
+        import jax
+        jax.config.update("jax_platforms", "cpu")
+
+    os.makedirs("data", exist_ok=True)
+    base_env = {
+        "QD_N_LAT": args.nlat, "QD_N_LON": args.nlon,
+        # keep the hot loop clean: no plots, no periodic autosave (phases save
+        # once at their end), no diversity snapshots
+        "QD_PLOT_EVERY_DAYS": 1e9,
+        "QD_AUTOSAVE_ENABLE": 0,
+        "QD_ECO_DIVERSITY_ENABLE": 0,
+    }
+    t0 = time.time()
+    result = {"protocol": "docs/11 two-phase SOP (scaled)",
+              "grid": [args.nlat, args.nlon],
+              "phase1": {"years": args.phase1_years, "mld_m": args.mld1},
+              "phase2": {"years": args.phase2_years, "mld_m": args.mld2}}
+
+    if not args.skip_phase1:
+        s1 = run_phase("phase1", args.phase1_years,
+                       {**base_env, "QD_MLD_M": args.mld1,
+                        "QD_AUTOSAVE_LOAD": 0},
+                       chunk_days=args.chunk_days)
+        m1 = acceptance_metrics(s1, min(args.eval_years, args.phase1_years / 2))
+        result["phase1"]["metrics"] = m1
+        print(f"[Spinup:phase1] metrics: {json.dumps(m1, indent=2)}")
+
+    s2 = run_phase("phase2", args.phase2_years,
+                   {**base_env, "QD_MLD_M": args.mld2, "QD_AUTOSAVE_LOAD": 1},
+                   chunk_days=args.chunk_days)
+    m2 = acceptance_metrics(s2, min(args.eval_years, args.phase2_years / 2))
+    result["phase2"]["metrics"] = m2
+    print(f"[Spinup:phase2] metrics: {json.dumps(m2, indent=2)}")
+
+    result["phase2"]["series"] = {
+        k: [round(float(x), 10) for x in s2[k]]
+        for k in ("t_years", "TOA_net", "Ts_mean")}
+
+    crit = {
+        "TOA_net_abs_le_0.2": abs(m2["TOA_net_mean_Wm2"]) <= 0.2,
+        "dTs_dt_abs_lt_0.02_K_decade": abs(m2["dTs_dt_K_per_decade"]) < 0.02,
+        "water_closure_rel_lt_2pct": abs(m2["water_residual_rel"]) < 0.02,
+        "LH_consistency_rel_lt_2pct": abs(m2["LH_consistency_rel"]) < 0.02,
+        "reservoir_drift_small": abs(m2["reservoir_drift_kgm2s"])
+                                 < 0.02 * max(abs(m2["E_mean_kgm2s"]), 1e-30),
+    }
+    result["acceptance"] = crit
+    result["accepted"] = all(crit.values())
+    result["wall_hours"] = round((time.time() - t0) / 3600.0, 3)
+
+    with open(args.out, "w") as f:
+        json.dump(result, f, indent=2)
+    print(f"[Spinup] {'ACCEPTED' if result['accepted'] else 'NOT ACCEPTED'} "
+          f"-> {args.out} ({result['wall_hours']} h wall)")
+    for k, v in crit.items():
+        print(f"  {'PASS' if v else 'FAIL'}  {k}")
+
+
+if __name__ == "__main__":
+    main()
