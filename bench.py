@@ -20,30 +20,61 @@ import numpy as np
 REF_CPU_SIM_YEARS_PER_HOUR = 0.2527  # 117.043 ms/step, BASELINE.md
 
 
-def main():
+def _measure(extra_env=None, n_chunks=5, chunk_steps=240):
+    """Build one world config, time a warmed scan; returns (per_step_s, state)."""
     import jax
     from __graft_entry__ import _build_world
     from qingdai_tpu import model as M
-    from qingdai_tpu.physics.orbital import T_PLANET
 
-    mdl, state = _build_world(181, 360)
-    dt = mdl.dt
-    chunk_steps = 240
+    mdl, state = _build_world(181, 360, extra_env=extra_env)
     chunk = jax.jit(M.make_chunk_fn(mdl, chunk_steps))
-
-    # compile + warm-up day
-    state, _ = chunk(state)
+    state, _ = chunk(state)          # compile + warm-up day
     jax.block_until_ready(state)
-
-    n_chunks = 5
     t0 = time.time()
     for _ in range(n_chunks):
-        state, diags = chunk(state)
+        state, _ = chunk(state)
     jax.block_until_ready(state)
-    wall = time.time() - t0
+    return (time.time() - t0) / (n_chunks * chunk_steps), state, mdl.dt
 
-    steps = n_chunks * chunk_steps
-    per_step = wall / steps
+
+def ablate():
+    """--ablate: per-subsystem step-time attribution. Each row disables ONE
+    subsystem from the full coupled model; delta = its cost in the full build
+    (fusion effects included, so deltas need not sum to the total)."""
+    rows = [
+        ("full", {}),
+        ("-phyto", {"QD_PHYTO_ENABLE": "0"}),
+        ("-ecology", {"QD_ECO_ENABLE": "0"}),
+        ("-individuals", {"QD_ECO_INDIV_ENABLE": "0"}),
+        ("-routing", {"QD_HYDRO_ENABLE": "0"}),
+        ("-ocean", {"QD_USE_OCEAN": "0"}),
+        ("-cloud_advect", {"QD_CLOUD_ADVECT": "0"}),
+        ("-filters", {"QD_DIFF_ENABLE": "0", "QD_SHAPIRO_EVERY": "0"}),
+    ]
+    out = []
+    base = None
+    for name, env in rows:
+        per_step, _, _ = _measure(extra_env=env, n_chunks=3)
+        if name == "full":
+            base = per_step
+        out.append({"config": name, "ms_per_step": round(per_step * 1e3, 4),
+                    "delta_us_vs_full": None if name == "full" else
+                    round((per_step - base) * 1e6, 1)})
+        print(json.dumps(out[-1]), flush=True)
+    return out
+
+
+def main():
+    import jax  # noqa: F401  (backend init)
+    from qingdai_tpu.physics.orbital import T_PLANET
+
+    if "--ablate" in sys.argv:
+        ablate()
+        return
+
+    chunk_steps = 240
+    n_chunks = 5
+    per_step, state, dt = _measure(n_chunks=n_chunks, chunk_steps=chunk_steps)
     sim_years_per_hour = 3600.0 / per_step * dt / T_PLANET
 
     # sanity: the simulated state must remain finite for the number to count

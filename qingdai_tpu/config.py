@@ -201,6 +201,7 @@ class DynamicsConfig:
     spec_cutoff: float = 0.75
     spec_damp: float = 0.5
     diff_factor: float = 0.998
+    dyn_diag: bool = False         # QD_DYN_DIAG: filter variance diagnostics
     adv_alpha: float = 0.2         # Ts/q semi-Lagrangian blend
     # cloud microstep
     cloud_couple: bool = True
@@ -240,6 +241,7 @@ class DynamicsConfig:
             spec_cutoff=_f("QD_SPEC_CUTOFF", 0.75),
             spec_damp=_f("QD_SPEC_DAMP", 0.5),
             diff_factor=_f("QD_DIFF_FACTOR", 0.998),
+            dyn_diag=_b("QD_DYN_DIAG", False),
             cloud_couple=_b("QD_CLOUD_COUPLE", True),
             rh0=_f("QD_RH0", 0.6),
             k_q=_f("QD_K_Q", 0.3),
@@ -665,6 +667,8 @@ class PhytoConfig:
     remin: float = 0.01
     N_init: float = 1.0
     init_frac: Optional[Tuple[float, ...]] = None
+    init_random: bool = False      # QD_PHYTO_INIT_RANDOM (phyto.py:654-670)
+    dist_on_mismatch: str = "keep"  # QD_PLANKTON_DIST_ON_MISMATCH: keep|reset
     K_h: float = 5.0e3
     adv_alpha: float = 0.7
     diag: bool = True
@@ -709,9 +713,75 @@ class PhytoConfig:
             remin=_f("QD_PHYTO_REMIN", 0.01),
             N_init=_f("QD_PHYTO_N_INIT", 1.0),
             init_frac=_flist("QD_PHYTO_INIT_FRAC"),
+            init_random=_b("QD_PHYTO_INIT_RANDOM", False),
+            dist_on_mismatch=_s("QD_PLANKTON_DIST_ON_MISMATCH", "keep").lower(),
             K_h=_f("QD_PHYTO_KH", _f("QD_KH_OCEAN", 5.0e3)),
             adv_alpha=_f("QD_PHYTO_ADV_ALPHA", 0.7),
             diag=_b("QD_PHYTO_DIAG", True),
+        )
+
+
+@dataclass(frozen=True)
+class VizConfig:
+    """Host-side rendering knobs (run_simulation.py:330-1061, ploter.py).
+
+    These only affect imagery; none are traced. Names and defaults follow the
+    reference driver's plotting blocks exactly."""
+    # TrueColor (run_simulation.py:539-778)
+    truecolor_ice_frac: float = 0.15       # QD_TRUECOLOR_ICE_FRAC (:562)
+    truecolor_snow_by_swe: bool = True     # QD_TRUECOLOR_SNOW_BY_SWE (:568)
+    truecolor_snow_by_ts: bool = False     # QD_TRUECOLOR_SNOW_BY_TS (:723)
+    snow_cover_frac: float = 0.20          # QD_SNOW_COVER_FRAC (:570)
+    snow_vis_alpha: float = 0.60           # QD_SNOW_VIS_ALPHA (:571)
+    truecolor_cloud_alpha: float = 0.60    # QD_TRUECOLOR_CLOUD_ALPHA (:730)
+    truecolor_cloud_white: float = 0.95    # QD_TRUECOLOR_CLOUD_WHITE (:731)
+    eco_truecolor_veg: bool = True         # QD_ECO_TRUECOLOR_VEG (:583)
+    eco_truecolor_gamma: float = 1.8       # QD_ECO_TRUECOLOR_GAMMA (:634)
+    eco_truecolor_sat: float = 1.35        # QD_ECO_TRUECOLOR_SAT (:641)
+    plot_oceancolor: bool = True           # QD_PLOT_OCEANCOLOR (:657)
+    oc_gamma: float = 2.2                  # QD_OC_GAMMA (:703)
+    oc_blend: float = 0.85                 # QD_OC_BLEND (:711)
+    plot_rivers: bool = True               # QD_PLOT_RIVERS (:737)
+    river_min_kgps: float = 1e6            # QD_RIVER_MIN_KGPS (:741)
+    river_alpha: float = 0.45              # QD_RIVER_ALPHA (:743)
+    lake_alpha: float = 0.40               # QD_LAKE_ALPHA (:750)
+    # state panel (run_simulation.py:369-380)
+    ps_mode: str = "anom"                  # QD_PLOT_PS_MODE: "anom" | "abs"
+    # ocean panel (run_simulation.py:780-826; never dispatched by the
+    # reference driver — here gated by QD_PLOT_OCEAN, default on)
+    plot_ocean: bool = True
+    # plankton species maps (run_simulation.py:828-906)
+    phyto_vmax: Optional[float] = None     # QD_PHYTO_VMAX (:858)
+    # point-ecology panels (ploter.py:201)
+    eco_height_scale_m: float = 10.0       # QD_ECO_HEIGHT_SCALE_M
+    # macOS auto-open of the first ecology panel (run_simulation.py:2480)
+    eco_open: bool = False                 # QD_ECO_OPEN
+
+    @staticmethod
+    def from_env() -> "VizConfig":
+        return VizConfig(
+            truecolor_ice_frac=_f("QD_TRUECOLOR_ICE_FRAC", 0.15),
+            truecolor_snow_by_swe=_b("QD_TRUECOLOR_SNOW_BY_SWE", True),
+            truecolor_snow_by_ts=_b("QD_TRUECOLOR_SNOW_BY_TS", False),
+            snow_cover_frac=_f("QD_SNOW_COVER_FRAC", 0.20),
+            snow_vis_alpha=_f("QD_SNOW_VIS_ALPHA", 0.60),
+            truecolor_cloud_alpha=_f("QD_TRUECOLOR_CLOUD_ALPHA", 0.60),
+            truecolor_cloud_white=_f("QD_TRUECOLOR_CLOUD_WHITE", 0.95),
+            eco_truecolor_veg=_b("QD_ECO_TRUECOLOR_VEG", True),
+            eco_truecolor_gamma=_f("QD_ECO_TRUECOLOR_GAMMA", 1.8),
+            eco_truecolor_sat=_f("QD_ECO_TRUECOLOR_SAT", 1.35),
+            plot_oceancolor=_b("QD_PLOT_OCEANCOLOR", True),
+            oc_gamma=_f("QD_OC_GAMMA", _f("QD_ECO_TRUECOLOR_GAMMA", 2.2)),
+            oc_blend=_f("QD_OC_BLEND", 0.85),
+            plot_rivers=_b("QD_PLOT_RIVERS", True),
+            river_min_kgps=_f("QD_RIVER_MIN_KGPS", 1e6),
+            river_alpha=_f("QD_RIVER_ALPHA", 0.45),
+            lake_alpha=_f("QD_LAKE_ALPHA", 0.40),
+            ps_mode=_s("QD_PLOT_PS_MODE", "anom").lower(),
+            plot_ocean=_b("QD_PLOT_OCEAN", True),
+            phyto_vmax=_opt_f("QD_PHYTO_VMAX"),
+            eco_height_scale_m=_f("QD_ECO_HEIGHT_SCALE_M", 10.0),
+            eco_open=_b("QD_ECO_OPEN", False),
         )
 
 
@@ -798,6 +868,7 @@ class SimConfig:
     physics: PhysicsConfig = field(default_factory=PhysicsConfig)
     ecology: EcologyConfig = field(default_factory=EcologyConfig)
     phyto: PhytoConfig = field(default_factory=PhytoConfig)
+    viz: VizConfig = field(default_factory=VizConfig)
 
     @staticmethod
     def from_env() -> "SimConfig":
@@ -812,4 +883,5 @@ class SimConfig:
             physics=PhysicsConfig.from_env(),
             ecology=EcologyConfig.from_env(),
             phyto=PhytoConfig.from_env(),
+            viz=VizConfig.from_env(),
         )

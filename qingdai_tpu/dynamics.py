@@ -168,6 +168,11 @@ def atmos_step(grid: Grid, cfg: SimConfig, static: StaticFields,
         v = v + (-static.friction * v) * dt
 
     # ---- filters (dynamics.py:532-639), batched across fields ----
+    # QD_DYN_DIAG: variance of u/v/h before/after the filter stack
+    # (reference prints [DynDiag] at dynamics.py:543-607; here the scalars
+    # ride the diag dict and the host prints at the same cadence)
+    if dcfg.dyn_diag:
+        var_pre = (jnp.var(u), jnp.var(v), jnp.var(h))
     cos02 = grid.coslat_cap_02
     if dcfg.diff_enable and dcfg.filter_type in ("hyper4", "combo"):
         k4_base = dcfg.sigma4 * grid.k4_map_unit / max(1e-12, dt)
@@ -263,4 +268,9 @@ def atmos_step(grid: Grid, cfg: SimConfig, static: StaticFields,
     aux = {"SW_atm": SW_atm, "SW_sfc": SW_sfc, "R": R,
            "LW_atm": LW_atm, "LW_sfc": LW_sfc, "OLR": OLR, "DLR": DLR,
            "SH": SH, "LH": LH, "T_a": T_a}
+    if dcfg.dyn_diag:
+        aux["dyn_var_u_pre"], aux["dyn_var_v_pre"], aux["dyn_var_h_pre"] = var_pre
+        aux["dyn_var_u_post"] = jnp.var(u)
+        aux["dyn_var_v_post"] = jnp.var(v)
+        aux["dyn_var_h_post"] = jnp.var(h)
     return new_atmos, aux

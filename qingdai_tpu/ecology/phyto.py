@@ -69,7 +69,7 @@ def _fill(vals, default, n):
 
 
 def build_phyto(grid_shape, land_mask, cfg: PhytoConfig, eco_cfg: EcologyConfig,
-                H_mld_m: float, dtype=jnp.float32):
+                H_mld_m: float, dtype=jnp.float32, seed=None):
     H, W = grid_shape
     bands = spec.make_bands(eco_cfg)
     NB = bands.nbands
@@ -108,6 +108,12 @@ def build_phyto(grid_shape, land_mask, cfg: PhytoConfig, eco_cfg: EcologyConfig,
 
     ocean = np.asarray(land_mask) == 0
     C0 = np.where(ocean[None], frac[:, None, None] * cfg.chl0, 0.0)
+    if cfg.init_random:
+        # QD_PHYTO_INIT_RANDOM=1: ±30% multiplicative noise over ocean
+        # (reference randomize_state, phyto.py:654-670)
+        rng = np.random.default_rng(seed)
+        noise = (rng.random((S, H, W)) * 2.0 - 1.0) * 0.3
+        C0 = np.clip(C0 * (1.0 + noise), 0.0, np.inf)
     N0 = np.where(ocean, cfg.N_init, 0.0)
 
     w_b = spec.band_weights(bands, eco_cfg)

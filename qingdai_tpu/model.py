@@ -140,7 +140,7 @@ def init_world(model: Model, t0_seconds: float = 0.0, seed: int = 42,
     if model.phyto_static is not None:
         _, phyto_state, _ = phyto_mod.build_phyto(
             grid.shape, model.static.land_mask, cfg.phyto, cfg.ecology,
-            cfg.ocean.H_m, dtype)
+            cfg.ocean.H_m, dtype, seed=seed)
     if model.routing_static is not None:
         routing_state = init_routing_state(model.routing_static, dtype)
 
@@ -562,6 +562,12 @@ def make_step_fn(model: Model, daily_mode: str = "cond",
             "v_max": jnp.max(jnp.abs(atmos.v)),
             "Qnet_mean": area_mean(Q_net, grid.area_w, mask=ocean_mask),
         }
+        # [DynDiag] filter variance scalars (QD_DYN_DIAG, dynamics.py:543-607)
+        if cfg.dynamics.dyn_diag:
+            for k in ("dyn_var_u_pre", "dyn_var_v_pre", "dyn_var_h_pre",
+                      "dyn_var_u_post", "dyn_var_v_post", "dyn_var_h_post"):
+                diag[k] = aux[k]
+
         # sea-ice diagnostics ([SeaIce] area/thickness, dynamics.py:417-426)
         ice_mask_d = (atmos.h_ice > 0.0) & ocean_mask
         diag["seaice_area_frac"] = area_mean(

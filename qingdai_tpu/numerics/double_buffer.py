@@ -7,12 +7,15 @@ In this framework the jitted step is *pure* — ``step(state) → state`` under
 the reference implements by hand, with XLA free to alias or double-buffer as
 it sees fit.
 
-What still needs explicit double buffering is the host side: autosave and
-rendering read device snapshots while the scan keeps running. ``HostDoubleBuffer``
-holds two host pytree slots so a writer (device→host transfer) and readers
-(NetCDF writer, renderer) never alias, and a NumPy ``DoubleBufferingArray``
-is provided for API parity with the reference (same read/write/swap/self-alias
-contract) for host-side numerics.
+On the host side the production engine (world.py) does NOT need explicit
+double buffering either: jax arrays are immutable, so autosave/rendering
+capture the current state *binding* and ``device_get`` it on the IO worker
+while the scan loop rebinds new states — reader and writer can never alias.
+The classes here are therefore standalone utilities, not part of the coupled
+model's path: ``DoubleBufferingArray`` reproduces the reference API contract
+(read/write/swap/self-alias protection) for host-side NumPy pipelines, and
+``HostDoubleBuffer`` is a two-slot snapshot holder for host pipelines that
+mutate their buffers in place (e.g. a NumPy-based renderer reusing arrays).
 """
 
 from __future__ import annotations

@@ -10,6 +10,7 @@ the jitted loop — the world runner calls this between scan chunks.
 from __future__ import annotations
 
 import os
+import sys
 
 import matplotlib
 matplotlib.use("Agg")
@@ -29,16 +30,30 @@ def _imshow(ax, data, title, cmap="viridis", vmin=None, vmax=None, land=None):
 
 
 def plot_state(world, t_days: float, out_dir: str) -> str:
-    """Multi-panel instantaneous state (run_simulation.py:330-537)."""
+    """Multi-panel instantaneous state (run_simulation.py:330-537).
+
+    The pressure panel follows QD_PLOT_PS_MODE (run_simulation.py:369-380):
+    "anom" = ρ_a·g·h/100 hPa anomaly, "abs" = (p0 + ρ_a·g·h)/100 hPa. (The
+    reference's separate T_a panel is an affine map of the same h field,
+    T_a = 288 + (g/cp)·h — one of the pair carries all the information.)
+    """
     st = world.state
     land = np.asarray(world.land_mask)
     atmos = st.atmos
+    viz = world.cfg.viz
     fig, axes = plt.subplots(4, 4, figsize=(20, 12))
     ax = axes.ravel()
     _imshow(ax[0], atmos.T_s, "T_s (K)", "RdBu_r", land=land)
     spd = np.hypot(np.asarray(atmos.u), np.asarray(atmos.v))
     _imshow(ax[1], spd, "|V| wind (m/s)", "magma", land=land)
-    _imshow(ax[2], atmos.h, "h (m)", "viridis", land=land)
+    rho_a = world.cfg.humidity.rho_a
+    p0 = world.cfg.humidity.p0
+    if viz.ps_mode == "abs":
+        ps = (p0 + rho_a * 9.81 * np.asarray(atmos.h)) * 1e-2
+        _imshow(ax[2], ps, "Ps (hPa, diag)", "viridis", land=land)
+    else:
+        ps = rho_a * 9.81 * np.asarray(atmos.h) * 1e-2
+        _imshow(ax[2], ps, "Ps anomaly (hPa)", "RdBu_r", land=land)
     _imshow(ax[3], atmos.cloud_cover, "cloud cover", "Greys_r", 0, 1, land=land)
     _imshow(ax[4], np.asarray(st.clock.precip_day_last), "precip (last day, mm)",
             "Blues", land=land)
@@ -78,19 +93,24 @@ def plot_state(world, t_days: float, out_dir: str) -> str:
 
 
 def plot_true_color(world, t_days: float, out_dir: str) -> str:
-    """TrueColor composite with ice/snow/vegetation/ocean-color/cloud overlays
-    (run_simulation.py:539-778)."""
+    """TrueColor composite with ice/snow/vegetation/ocean-color/cloud/river
+    overlays, driven by the QD_TRUECOLOR_* / QD_OC_* / QD_PLOT_* knob surface
+    (run_simulation.py:539-778; defaults in config.VizConfig)."""
     st = world.state
+    viz = world.cfg.viz
     land = np.asarray(world.land_mask) == 1
     H, W = land.shape
     rgb = np.zeros((H, W, 3))
 
-    # base: deep ocean blue / land tan by elevation
-    rgb[~land] = (0.05, 0.15, 0.35)
+    # base colors (run_simulation.py:549-556)
+    ocean_color = np.array([0.10, 0.20, 0.50])
+    land_color = np.array([0.40, 0.30, 0.20])
+    ice_color = np.array([0.90, 0.90, 0.95])
+    rgb[~land] = ocean_color
     elev = np.asarray(world.elevation) if world.elevation is not None else np.zeros((H, W))
     e = np.clip(np.maximum(elev, 0) / 4000.0, 0, 1)
-    land_col = np.stack([0.45 + 0.3 * e, 0.38 + 0.2 * e, 0.26 + 0.2 * e], -1)
-    rgb[land] = land_col[land]
+    land_col = land_color[None, None, :] * (1.0 + 0.35 * e[..., None])
+    rgb[land] = np.clip(land_col, 0, 1)[land]
 
     # spectral color machinery (run_simulation.py:600-720): per-band surface
     # reflectance → RGB via Gaussian color-matching weights, modulated by the
@@ -116,71 +136,88 @@ def plot_true_color(world, t_days: float, out_dir: str) -> str:
             w = np.exp(-((lam - mu) ** 2) / (2.0 * sig ** 2))
             return w / (w.sum() + 1e-12)
         wr, wg, wb = _cw(610.0, 50.0), _cw(550.0, 40.0), _cw(460.0, 40.0)
-        gamma = float(os.getenv("QD_ECO_TRUECOLOR_GAMMA", "1.8"))
 
-        def _bands_to_rgb(A):
+        def _bands_to_rgb(A, gamma, sat=1.0):
             chans = [np.nansum(A * (w[:, None, None] * w_rel), axis=0)
                      for w in (wr, wg, wb)]
             out = np.clip(np.stack(chans, -1), 0.0, 1.0)
             if gamma > 0:
                 out = out ** (1.0 / gamma)
+            if sat != 1.0:  # saturation shaping (run_simulation.py:639-646)
+                m = np.mean(out, axis=-1, keepdims=True)
+                out = np.clip(m + sat * (out - m), 0.0, 1.0)
             return out
 
+    # sea-ice from thickness → optical ice fraction, rendered as solid ice
+    # where coverage exceeds QD_TRUECOLOR_ICE_FRAC (run_simulation.py:558-564)
+    h_ice_ref = world.cfg.physics.h_ice_ref
+    ice_frac = 1.0 - np.exp(-np.maximum(np.asarray(st.atmos.h_ice), 0)
+                            / max(1e-6, h_ice_ref))
+    sea_ice_mask = (~land) & (ice_frac >= viz.truecolor_ice_frac)
+
     # vegetation: banded surface albedo where ecology is active
-    if st.eco is not None and es is not None:
-        from ..ecology import population as pop_mod
+    # (QD_ECO_TRUECOLOR_VEG, run_simulation.py:581-651)
+    k_canopy = world.cfg.ecology.k_canopy
+    if viz.eco_truecolor_veg and st.eco is not None:
         lai = np.asarray(st.eco.LAI_SK).sum(axis=(0, 1))
-        f = 1.0 - np.exp(-0.5 * np.maximum(lai, 0))
-        A_veg = np.asarray(pop_mod.surface_albedo_bands(es, st.eco,
-                                                        world.cfg.ecology))
-        veg = _bands_to_rgb(np.nan_to_num(A_veg))
-        m = land & (f > 0.02)
-        a = f[..., None]
-        rgb[m] = ((1 - a) * rgb + a * veg)[m]
-    elif st.eco is not None:
-        lai = np.asarray(st.eco.LAI_SK).sum(axis=(0, 1))
-        f = 1.0 - np.exp(-0.5 * np.maximum(lai, 0))
-        veg = np.stack([0.10 + 0 * f, 0.35 + 0.25 * f, 0.10 + 0 * f], -1)
-        m = land & (f > 0.02)
-        a = f[..., None]
-        rgb[m] = ((1 - a) * rgb + a * veg)[m]
+        f = 1.0 - np.exp(-k_canopy * np.maximum(lai, 0))
+        if es is not None:
+            from ..ecology import population as pop_mod
+            A_veg = np.asarray(pop_mod.surface_albedo_bands(es, st.eco,
+                                                            world.cfg.ecology))
+            veg = _bands_to_rgb(np.nan_to_num(A_veg), viz.eco_truecolor_gamma,
+                                viz.eco_truecolor_sat)
+        else:
+            veg = np.stack([0.10 + 0 * f, 0.35 + 0.25 * f, 0.10 + 0 * f], -1)
+        a = np.clip(f, 0.0, 1.0)[..., None]
+        rgb = np.where(land[..., None], (1 - a) * rgb + a * veg, rgb)
 
-    # ocean color from the phyto banded reflectance (falls back to a
-    # chlorophyll-keyed tint when the band machinery is off)
-    if st.phyto is not None and es is not None:
-        water = _bands_to_rgb(np.asarray(st.phyto.alpha_bands))
-        m = ~land
-        rgb[m] = (0.6 * rgb + 0.4 * water)[m]
-    elif st.phyto is not None:
-        chl = np.asarray(st.phyto.C_phyto).sum(axis=0)
-        g = np.clip(chl / 2.0, 0, 1)
-        oc = np.stack([0.05 + 0.05 * g, 0.15 + 0.45 * g, 0.35 - 0.1 * g], -1)
-        m = ~land
-        rgb[m] = (0.6 * rgb + 0.4 * oc)[m]
+    # ocean color overlay from phyto banded reflectance on OPEN ocean only
+    # (QD_PLOT_OCEANCOLOR / QD_OC_GAMMA / QD_OC_BLEND, run_simulation.py:655-721)
+    if viz.plot_oceancolor and st.phyto is not None:
+        if es is not None:
+            water = _bands_to_rgb(np.asarray(st.phyto.alpha_bands), viz.oc_gamma)
+        else:
+            chl = np.asarray(st.phyto.C_phyto).sum(axis=0)
+            g = np.clip(chl / 2.0, 0, 1)
+            water = np.stack([0.05 + 0.05 * g, 0.15 + 0.45 * g, 0.35 - 0.1 * g], -1)
+        m = (~land) & (~sea_ice_mask)
+        blend = viz.oc_blend
+        rgb[m] = ((1 - blend) * rgb + blend * water)[m]
 
-    # sea ice
-    ice_frac = 1.0 - np.exp(-np.maximum(np.asarray(st.atmos.h_ice), 0) / 0.5)
-    m = (~land) & (ice_frac > 0.05)
-    a = ice_frac[..., None]
-    rgb = np.where(m[..., None], (1 - a) * rgb + a * np.array([0.85, 0.88, 0.92]), rgb)
+    # solid sea-ice tiles (after ocean color, run_simulation.py:564)
+    rgb = np.where(sea_ice_mask[..., None], ice_color, rgb)
 
-    # snow on land
-    C_snow = np.asarray(st.land.C_snow)
-    m = land & (C_snow > 0.05)
-    a = C_snow[..., None]
-    rgb = np.where(m[..., None], (1 - a) * rgb + a * np.array([0.92, 0.93, 0.95]), rgb)
+    # land snow from optical cover C_snow (QD_TRUECOLOR_SNOW_BY_SWE,
+    # QD_SNOW_COVER_FRAC, QD_SNOW_VIS_ALPHA; run_simulation.py:566-579)
+    C_snow = np.nan_to_num(np.asarray(st.land.C_snow))
+    if viz.truecolor_snow_by_swe:
+        m = land & (C_snow >= viz.snow_cover_frac)
+        a = (viz.snow_vis_alpha * np.clip(C_snow, 0.0, 1.0))[..., None]
+        rgb = np.where(m[..., None], (1 - a) * rgb + a * ice_color, rgb)
+    if viz.truecolor_snow_by_ts:  # legacy Ts-threshold whitening (:723-727)
+        m = land & (np.asarray(st.atmos.T_s)
+                    <= world.cfg.hydrology.snow_thresh_K)
+        rgb = np.where(m[..., None], 0.97 * ice_color, rgb)
 
-    # rivers
-    if st.routing is not None:
+    # rivers and lakes (QD_PLOT_RIVERS / QD_RIVER_* / QD_LAKE_ALPHA,
+    # run_simulation.py:735-754)
+    if st.routing is not None and viz.plot_rivers:
         fa = np.asarray(st.routing.flow_accum_kgps).reshape(H, W)
-        thresh = float(os.getenv("QD_RIVER_MIN_KGPS", "1e6"))
-        m = land & (fa > thresh)
-        rgb[m] = (0.15, 0.3, 0.55)
+        rm = (land & (fa >= viz.river_min_kgps)).astype(float)[..., None]
+        river_color = np.array([0.05, 0.35, 0.90])
+        rgb = rgb * (1.0 - viz.river_alpha * rm) + river_color * (viz.river_alpha * rm)
+    rs = getattr(world.model, "routing_static", None)
+    if rs is not None:
+        lake = np.asarray(rs.lake_mask_flat).reshape(H, W)
+        lm = (lake & land).astype(float)[..., None]
+        lake_color = np.array([0.15, 0.55, 0.95])
+        rgb = rgb * (1.0 - viz.lake_alpha * lm) + lake_color * (viz.lake_alpha * lm)
 
-    # clouds
+    # clouds (QD_TRUECOLOR_CLOUD_ALPHA/WHITE, run_simulation.py:729-733)
     cloud = np.clip(np.asarray(st.atmos.cloud_cover), 0, 1)
-    a = (0.75 * cloud)[..., None]
-    rgb = (1 - a) * rgb + a * np.array([0.95, 0.95, 0.97])
+    a = (viz.truecolor_cloud_alpha * cloud)[..., None]
+    rgb = (1 - a) * rgb + a * viz.truecolor_cloud_white
 
     # day/night from current insolation phase (approximate: use isr proxy via Ts? skip shading)
     fig, axp = plt.subplots(figsize=(12, 6))
@@ -194,10 +231,10 @@ def plot_true_color(world, t_days: float, out_dir: str) -> str:
     # console echo consistent with the [SeaIce] logs (run_simulation.py:771-777)
     w = np.maximum(np.cos(np.deg2rad(np.asarray(world.model.grid.lat_mesh))), 0.0)
     h_ice = np.asarray(st.atmos.h_ice)
-    ice_m = (~land) & (ice_frac > 0.05)
-    area = float((w * ice_m).sum() / (w.sum() + 1e-15))
-    mean_h = float(h_ice[ice_m].mean()) if ice_m.any() else 0.0
-    print(f"[TrueColor] sea_ice_area≈{area:.3f}, mean_h_ice={mean_h:.3f} m")
+    area = float((w * sea_ice_mask).sum() / (w.sum() + 1e-15))
+    mean_h = float(h_ice[sea_ice_mask].mean()) if sea_ice_mask.any() else 0.0
+    print(f"[TrueColor] sea_ice_area≈{area:.3f}, mean_h_ice={mean_h:.3f} m "
+          f"(thr={viz.truecolor_ice_frac}, alpha={viz.truecolor_cloud_alpha})")
     return path
 
 
@@ -218,6 +255,42 @@ def plot_isr_components(world, t_days: float, out_dir: str) -> str:
     return path
 
 
+def plot_ocean(world, t_days: float, out_dir: str) -> str:
+    """Ocean panel: SST (°C) contours + sub-sampled current quiver over the
+    speed field (run_simulation.py:780-826 — defined but never dispatched by
+    the reference driver; here gated by QD_PLOT_OCEAN)."""
+    st = world.state
+    lat, lon = np.asarray(world.lat), np.asarray(world.lon)
+    land = np.asarray(world.land_mask)
+    ocn = st.ocean
+    fig, (ax1, ax2) = plt.subplots(1, 2, figsize=(18, 6),
+                                   constrained_layout=True)
+    sst_c = np.nan_to_num(np.asarray(ocn.sst) - 273.15)
+    cs = ax1.contourf(lon, lat, sst_c, levels=20, cmap="coolwarm")
+    ax1.contour(lon, lat, land, levels=[0.5], colors="black", linewidths=0.7)
+    ax1.set_title(f"SST (°C) at Day {t_days:.2f}")
+    ax1.set_xlabel("Longitude"); ax1.set_ylabel("Latitude")
+    fig.colorbar(cs, ax=ax1, label="°C")
+
+    uo, vo = np.nan_to_num(np.asarray(ocn.uo)), np.nan_to_num(np.asarray(ocn.vo))
+    speed = np.hypot(uo, vo)
+    sp = ax2.contourf(lon, lat, speed, levels=20, cmap="viridis")
+    s_lat = max(1, len(lat) // 30)
+    s_lon = max(1, len(lon) // 30)
+    lon_m, lat_m = np.meshgrid(lon, lat)
+    ax2.quiver(lon_m[::s_lat, ::s_lon], lat_m[::s_lat, ::s_lon],
+               uo[::s_lat, ::s_lon], vo[::s_lat, ::s_lon],
+               color="white", scale=400, width=0.002)
+    ax2.contour(lon, lat, land, levels=[0.5], colors="black", linewidths=0.7)
+    ax2.set_title(f"Ocean Currents (m/s) at Day {t_days:.2f}")
+    ax2.set_xlabel("Longitude"); ax2.set_ylabel("Latitude")
+    fig.colorbar(sp, ax=ax2, label="m/s")
+    path = os.path.join(out_dir, f"ocean_day_{t_days:07.1f}.png")
+    fig.savefig(path, dpi=90)
+    plt.close(fig)
+    return path
+
+
 def plot_ecology(world, t_days: float, out_dir: str) -> str:
     """Ecology panel: LAI, ecological albedo, species dominance, seed bank
     (run_simulation.py:2437-2477)."""
@@ -226,17 +299,32 @@ def plot_ecology(world, t_days: float, out_dir: str) -> str:
         return ""
     land = np.asarray(world.land_mask) == 1
     eco = st.eco
-    lai_s = np.asarray(eco.LAI_SK).sum(axis=1)       # [S,H,W]
+    LAI_SK = np.asarray(eco.LAI_SK)                  # [S,K,H,W]
+    lai_s = LAI_SK.sum(axis=1)                       # [S,H,W]
     lai = lai_s.sum(axis=0)
     dom = np.argmax(lai_s, axis=0).astype(float)
     dom[~land] = np.nan
-    fig, axes = plt.subplots(2, 2, figsize=(14, 8))
+    # canopy height proxy: H = scale · Σ_k h_k·LAI_k / Σ_k LAI_k with
+    # h_k = (k+1)/K (ploter.py:57-74 / pop.canopy_height_map)
+    K = LAI_SK.shape[1]
+    hk = (np.arange(K) + 1.0) / K
+    LAI_k = np.maximum(LAI_SK, 0.0).sum(axis=0)      # [K,H,W]
+    canopy_h = (world.cfg.viz.eco_height_scale_m
+                * np.tensordot(hk, LAI_k, axes=(0, 0))
+                / (LAI_k.sum(axis=0) + 1e-12))
+    fig, axes = plt.subplots(2, 3, figsize=(19, 8))
     _imshow(axes[0, 0], np.where(land, lai, np.nan), "total LAI", "YlGn")
     _imshow(axes[0, 1], np.asarray(st.albedo.alpha_ecology_last),
             "ecology albedo", "pink")
+    _imshow(axes[0, 2], np.where(land, canopy_h, np.nan),
+            "canopy height (m)", "copper")
     _imshow(axes[1, 0], dom, "dominant species id", "tab20")
     _imshow(axes[1, 1], np.where(land, np.asarray(eco.seed_bank), np.nan),
             "seed bank", "YlOrBr")
+    ab = np.asarray(st.albedo.alpha_banded_daily)
+    if ab.ndim == 3:  # [NB,H,W] daily banded cache → scalar reduce for panel
+        ab = np.nanmean(ab, axis=0)
+    _imshow(axes[1, 2], ab, "banded albedo (band mean)", "bone")
     fig.suptitle(f"Ecology — day {t_days:.1f}")
     path = os.path.join(out_dir, f"ecology_day_{t_days:07.1f}.png")
     fig.savefig(path, dpi=90, bbox_inches="tight")
@@ -245,10 +333,16 @@ def plot_ecology(world, t_days: float, out_dir: str) -> str:
 
 
 def plot_plankton(world, t_days: float, out_dir: str) -> str:
-    """Plankton species maps + Kd490 + ocean albedo (ploter/plot_plankton_species)."""
+    """Plankton overview panel + raw per-species density maps.
+
+    The overview mirrors our state-panel style; the per-species maps follow
+    plot_plankton_species (run_simulation.py:828-906): raw C_phyto_s in
+    mg Chl/m³, land masked to NaN, vmin=0, vmax from QD_PHYTO_VMAX or the
+    99th percentile of ocean values, written to <out_dir>/plankton/."""
     st = world.state
     if st.phyto is None:
         return ""
+    viz = world.cfg.viz
     land = np.asarray(world.land_mask) == 1
     C = np.asarray(st.phyto.C_phyto)
     fig, axes = plt.subplots(2, 2, figsize=(14, 8))
@@ -262,6 +356,33 @@ def plot_plankton(world, t_days: float, out_dir: str) -> str:
     path = os.path.join(out_dir, f"plankton_day_{t_days:07.1f}.png")
     fig.savefig(path, dpi=90, bbox_inches="tight")
     plt.close(fig)
+
+    # per-species raw density maps (run_simulation.py:846-906 writes species
+    # 0/1; we write every active species)
+    sp_dir = os.path.join(out_dir, "plankton")
+    os.makedirs(sp_dir, exist_ok=True)
+    for s in range(C.shape[0]):
+        field = C[s].astype(float).copy()
+        field[land] = np.nan
+        if viz.phyto_vmax is not None:
+            vmax = viz.phyto_vmax
+        else:
+            with np.errstate(all="ignore"):
+                vmax = float(np.nanpercentile(field, 99.0))
+        if not np.isfinite(vmax) or vmax <= 0.0:
+            vmax = 1.0e-3
+        figs, axs = plt.subplots(figsize=(10, 5), constrained_layout=True)
+        im = axs.contourf(np.asarray(world.lon), np.asarray(world.lat), field,
+                          levels=np.linspace(0.0, vmax, 21), cmap="viridis",
+                          extend="max")
+        axs.contour(np.asarray(world.lon), np.asarray(world.lat),
+                    np.asarray(world.land_mask), levels=[0.5], colors="black",
+                    linewidths=0.5)
+        axs.set_title(f"Plankton species {s} (mg Chl/m³) at Day {t_days:.2f}")
+        figs.colorbar(im, ax=axs, label="mg Chl/m³")
+        figs.savefig(os.path.join(
+            sp_dir, f"plankton_s{s}_day_{t_days:07.1f}.png"), dpi=90)
+        plt.close(figs)
     return path
 
 
@@ -270,8 +391,14 @@ def plot_all(world, t_days: float, out_dir: str):
     cfg = world.cfg
     plot_state(world, t_days, out_dir)
     plot_true_color(world, t_days, out_dir)
+    if cfg.viz.plot_ocean and cfg.ocean.enabled:
+        plot_ocean(world, t_days, out_dir)
     if cfg.run.eco_plot and world.state.eco is not None:
-        plot_ecology(world, t_days, out_dir)
+        path = plot_ecology(world, t_days, out_dir)
+        # macOS-only convenience: auto-open the first ecology panel
+        # (QD_ECO_OPEN, run_simulation.py:2478-2484)
+        if cfg.viz.eco_open and sys.platform == "darwin" and path:
+            os.system(f"open '{path}'")
     if cfg.run.plot_phyto and world.state.phyto is not None:
         plot_plankton(world, t_days, out_dir)
     if cfg.run.plot_isr:

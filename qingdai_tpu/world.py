@@ -142,11 +142,13 @@ class QingdaiWorld:
         rst = None
         # Restart priority: QD_RESTART_IN > autosave > banded init
         # (run_simulation.py:1433-1590)
+        used_autosave = False
         if cfg.run.restart_in and os.path.exists(cfg.run.restart_in):
             rst = ncio.load_restart(cfg.run.restart_in)
             self._log(f"[Restart] Loaded state from '{cfg.run.restart_in}'.")
         elif cfg.run.autosave_load and os.path.exists(os.path.join("data", "atmosphere.nc")):
             rst = ncio.load_restart(os.path.join("data", "atmosphere.nc"))
+            used_autosave = True
             self._log("[Autosave] Loaded checkpoint from 'data/atmosphere.nc'.")
         if rst is not None and rst.get("t_seconds"):
             t0 = float(rst["t_seconds"])
@@ -192,6 +194,38 @@ class QingdaiWorld:
             if ok:
                 self.state = dataclasses.replace(self.state, phyto=ph_new)
                 self._log("[Phyto] plankton.nc load OK.")
+            elif cfg.phyto.dist_on_mismatch == "reset":
+                # shape mismatch → deterministic default re-init
+                # (reference load_distribution_nc on_mismatch='reset',
+                # phyto.py:946, 672-681)
+                from .ecology import phyto as phyto_mod
+                _, ph0, _ = phyto_mod.build_phyto(
+                    (cfg.run.n_lat, cfg.run.n_lon), self.land_mask,
+                    dataclasses.replace(cfg.phyto, init_random=False),
+                    cfg.ecology, cfg.ocean.H_m)
+                self.state = dataclasses.replace(self.state, phyto=ph0)
+                self._log("[Phyto] plankton.nc shape mismatch — state reset "
+                          "to defaults.")
+            else:
+                self._log("[Phyto] plankton.nc load skipped/failed (keep).")
+
+        # full-pytree override: written at the same instant as the NetCDF
+        # autosave set, carries everything the reference schema drops (day
+        # accumulators, humidity caches, routing buffer, RNG key) so a
+        # mid-day resume continues bit-exactly. Only applies to the autosave
+        # path — an explicit QD_RESTART_IN points at reference-schema data
+        # that may predate the sidecar.
+        ckpt_path = os.path.join("data", "world_ckpt")
+        if used_autosave and (os.path.exists(ckpt_path)
+                              or os.path.exists(ckpt_path + ".npz")):
+            try:
+                from .io import checkpoint as ckpt
+                self.state = ckpt.load_checkpoint(ckpt_path, self.state)
+                self._log("[Autosave] Full-pytree checkpoint restored "
+                          "(bit-exact resume).")
+            except Exception as e:
+                self._log(f"[Autosave] full-pytree restore failed ({e}); "
+                          "continuing from the NetCDF fields.")
 
     def _apply_genes(self, genes_list):
         """Rebuild per-species reflectance rows from a loaded genome table."""
@@ -257,6 +291,15 @@ class QingdaiWorld:
             self._log("[Autosave] Core state saved to 'data/atmosphere.nc'")
         except OSError as e:
             self._log(f"[Autosave] NetCDF save failed: {e}")
+        # full-pytree fast path: the NetCDF set is the reference-schema
+        # interchange format but drops the day/routing accumulators, humidity
+        # caches and RNG key, so a mid-day resume from it is only approximate.
+        # The sidecar snapshot makes resume bit-exact (SURVEY.md §5.4).
+        try:
+            from .io import checkpoint as ckpt
+            ckpt.save_checkpoint(os.path.join("data", "world_ckpt"), state)
+        except Exception as e:
+            self._log(f"[Autosave] full-pytree checkpoint skipped: {e}")
         if cfg.ocean.enabled:
             ncio.save_ocean(os.path.join("data", "ocean.nc"), self.lat, self.lon,
                             state.ocean, day_value)
@@ -428,6 +471,11 @@ class QingdaiWorld:
                     msg += (f" | d/dt Σ={ddt:.3e} vs (E−P−R) -> residual={resid:.3e}")
             self._hydro_prev = (t_now, d["total_reservoir_mean"])
             print(msg)
+            if "dyn_var_u_pre" in d:
+                print(f"[DynDiag] hyper4 applied: "
+                      f"Var(u) {d['dyn_var_u_pre']:.3e}->{d['dyn_var_u_post']:.3e}, "
+                      f"Var(v) {d['dyn_var_v_pre']:.3e}->{d['dyn_var_v_post']:.3e}, "
+                      f"Var(h) {d['dyn_var_h_pre']:.3e}->{d['dyn_var_h_post']:.3e}")
             if "seaice_area_frac" in d:
                 print(f"[SeaIce] area={d['seaice_area_frac']:.3f}, "
                       f"mean_h={d['seaice_mean_h']:.2f} m")

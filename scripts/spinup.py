@@ -193,6 +193,12 @@ def main():
     os.makedirs("data", exist_ok=True)
     base_env = {
         "QD_N_LAT": args.nlat, "QD_N_LON": args.nlon,
+        # the documented SOP bundle (docs/11.4): explicit energy path drives
+        # T_s so the TOA acceptance criterion is meaningful, banded initial
+        # Ts (spin-up.sh default per docs/04 §9), Q_net-coupled ocean
+        "QD_ENERGY_W": os.environ.get("QD_ENERGY_W", "1"),
+        "QD_INIT_BANDED": os.environ.get("QD_INIT_BANDED", "1"),
+        "QD_OCEAN_USE_QNET": os.environ.get("QD_OCEAN_USE_QNET", "1"),
         # keep the hot loop clean: no plots, no periodic autosave (phases save
         # once at their end), no diversity snapshots
         "QD_PLOT_EVERY_DAYS": 1e9,
@@ -208,7 +214,8 @@ def main():
     if not args.skip_phase1:
         s1 = run_phase("phase1", args.phase1_years,
                        {**base_env, "QD_MLD_M": args.mld1,
-                        "QD_AUTOSAVE_LOAD": 0},
+                        # fresh start: ignore every stale autosave artifact
+                        "QD_AUTOSAVE_LOAD": 0, "QD_LOAD_PLANKTON": 0},
                        chunk_days=args.chunk_days)
         m1 = acceptance_metrics(s1, min(args.eval_years, args.phase1_years / 2))
         result["phase1"]["metrics"] = m1
