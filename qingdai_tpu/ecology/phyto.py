@@ -228,10 +228,12 @@ def phyto_apply_transport(ps: PhytoStatic, st: PhytoState, cfg: PhytoConfig,
 
 
 def phyto_advect_diffuse(ps: PhytoStatic, st: PhytoState, cfg: PhytoConfig,
-                         grid: Grid, uo, vo, dt: float) -> PhytoState:
+                         grid: Grid, uo, vo, dt: float, plan=None) -> PhytoState:
     """Per-physics-step transport of each species (phyto.py:496-547);
-    all species share one departure-point gather."""
+    all species share one departure-point gather (or, with a windowed plan,
+    one halo-local masked-roll pass — required for SPMD to stay all-gather
+    free, the [S,H,W] chlorophyll stack being the largest advected operand)."""
     C_adv = advect_semilag_multi(st.C_phyto, uo, vo, dt, const.PLANET_RADIUS,
                                  grid.dlat_rad, grid.dlon_rad,
-                                 grid.coslat_cap_05)
+                                 grid.coslat_cap_05, plan=plan)
     return phyto_apply_transport(ps, st, cfg, grid, C_adv, dt)

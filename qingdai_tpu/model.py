@@ -62,6 +62,7 @@ class Model:
     dt: float
     adv_plan_atmos: Optional[AdvectPlan] = None
     adv_plan_ocean: Optional[AdvectPlan] = None
+    adv_plan_phyto: Optional[AdvectPlan] = None
     day_seconds: float = const.DAY_SECONDS
 
 
@@ -108,11 +109,19 @@ def build_model(cfg: SimConfig, land_mask, base_albedo, friction,
         cfg.run.n_lat, grid.dlat_rad, grid.dlon_rad, dt / max(1, n_sub),
         const.PLANET_RADIUS, np.asarray(grid.coslat_cap_05)[:, 0],
         vmax=cfg.ocean.max_u_cap + 2.0)  # margin over the per-substep cap
+    # phyto transport runs on the FULL physics dt (phyto.py:496-547), so it
+    # needs its own window; the [S,H,W] chlorophyll stack is the largest
+    # advected operand, and the windowed path keeps it halo-local under SPMD
+    plan_phyto = make_advect_plan(
+        cfg.run.n_lat, grid.dlat_rad, grid.dlon_rad, dt,
+        const.PLANET_RADIUS, np.asarray(grid.coslat_cap_05)[:, 0],
+        vmax=cfg.ocean.max_u_cap + 2.0)
     model = Model(grid=grid, cfg=cfg, static=static,
                   eco_static=eco_static, indiv_static=indiv_static,
                   phyto_static=phyto_static, routing_static=routing_static,
                   n_ocean_substeps=n_sub, dt=dt,
-                  adv_plan_atmos=plan_atmos, adv_plan_ocean=plan_ocean)
+                  adv_plan_atmos=plan_atmos, adv_plan_ocean=plan_ocean,
+                  adv_plan_phyto=plan_phyto)
     return model
 
 
@@ -488,7 +497,7 @@ def make_step_fn(model: Model, daily_mode: str = "cond",
                 else:
                     phyto_state = phyto_mod.phyto_advect_diffuse(
                         model.phyto_static, phyto_state, cfg.phyto, grid,
-                        ocn.uo, ocn.vo, dt)
+                        ocn.uo, ocn.vo, dt, plan=model.adv_plan_phyto)
         else:
             Q_net = jnp.zeros_like(atmos.T_s)
 

@@ -39,23 +39,16 @@ def _two_sum(a, b):
     return s, e
 
 
-def sum_compensated(x: jax.Array) -> jax.Array:
-    """Float-float pairwise sum of all elements; returns (hi, lo) pair.
-
-    Halve-and-TwoSum tree: log2(n) unrolled levels of vector ops, each
-    carrying an exact roundoff channel, renormalized per level. Relative
-    error ~2⁻⁴⁸ for f32 input — effectively an f64 accumulator without
-    enabling x64. Cost ≈ 2 plain sums (the shrinking levels total ~2n
-    elementwise flops, fused by XLA)."""
-    flat = x.ravel()
-    n = flat.shape[0]
-    if n == 0:
-        z = jnp.zeros((), x.dtype)
-        return z, z
+def _ff_tree_axis0(hi: jax.Array, lo: jax.Array):
+    """Halve-and-TwoSum float-float reduction along axis 0, vectorized over
+    the trailing axes. Each level is elementwise over the trailing axes, so
+    under SPMD a trailing-sharded operand reduces fully shard-locally."""
+    n = hi.shape[0]
     p = 1 << max(0, int(n - 1).bit_length())
     if p != n:
-        flat = jnp.concatenate([flat, jnp.zeros((p - n,), flat.dtype)])
-    hi, lo = flat, jnp.zeros_like(flat)
+        z = jnp.zeros((p - n,) + hi.shape[1:], hi.dtype)
+        hi = jnp.concatenate([hi, z], axis=0)
+        lo = jnp.concatenate([lo, z], axis=0)
     while hi.shape[0] > 1:
         h = hi.shape[0] // 2
         s, e = _two_sum(hi[:h], hi[h:])
@@ -63,6 +56,36 @@ def sum_compensated(x: jax.Array) -> jax.Array:
         # renormalize so |lo| stays ≤ ulp(hi)
         hi, e2 = _two_sum(s, t)
         lo = e2
+    return hi[0], lo[0]
+
+
+def sum_compensated(x: jax.Array) -> jax.Array:
+    """Float-float pairwise sum of all elements; returns (hi, lo) pair.
+
+    Halve-and-TwoSum tree: log2(n) unrolled levels of vector ops, each
+    carrying an exact roundoff channel, renormalized per level. Relative
+    error ~2⁻⁴⁸ for f32 input — effectively an f64 accumulator without
+    enabling x64. Cost ≈ 2 plain sums (the shrinking levels total ~2n
+    elementwise flops, fused by XLA).
+
+    SPMD layout note: a 2-D (lat, lon) field is reduced along the UNSHARDED
+    latitude axis first — pure per-column vector ops, no cross-shard data
+    motion — leaving one (lon,) row whose final tree is the only cross-shard
+    stage (a ~1 KB collective instead of the full-field all-gather a raveled
+    global tree would force)."""
+    if x.ndim == 0:
+        return x, jnp.zeros_like(x)
+    if x.size == 0:
+        z = jnp.zeros((), x.dtype)
+        return z, z
+    if x.ndim >= 2:
+        # collapse leading (unsharded) axes into axis 0, keep the trailing
+        # (possibly sharded) axis intact
+        x2 = x.reshape(-1, x.shape[-1])
+        hi_row, lo_row = _ff_tree_axis0(x2, jnp.zeros_like(x2))
+    else:
+        hi_row, lo_row = x, jnp.zeros_like(x)
+    hi, lo = _ff_tree_axis0(hi_row[:, None], lo_row[:, None])
     return hi[0], lo[0]
 
 
@@ -96,24 +119,28 @@ def masked_median_of_positive(x: jax.Array, fallback: float = 1e-6) -> jax.Array
     """
     if x.dtype == jnp.float32 and _use_pallas_median():
         return _median_pos_pallas(x, fallback)
-    flat = x.ravel()
-    pos = flat > 0.0
+    # keep the native shape: every pass is a full reduction of elementwise
+    # predicates, so a lon-sharded 2-D field bisects with per-shard partial
+    # counts + scalar all-reduces (a ravel would force a full all-gather)
+    pos = x > 0.0
     n = jnp.sum(pos)
     # order statistics (0-indexed): numpy median averages k1=(n-1)//2, k2=n//2
     k = n.astype(jnp.int32)
     k12 = jnp.stack([jnp.maximum((k - 1) // 2, 0), jnp.maximum(k // 2, 0)])
-    neg_inf = jnp.asarray(-jnp.inf, flat.dtype)
-    hi0 = jnp.maximum(jnp.max(jnp.where(pos, flat, neg_inf)), 0.0)
-    lo0 = jnp.zeros((2,), flat.dtype)
-    hi0 = jnp.broadcast_to(hi0, (2,)).astype(flat.dtype)
-    iters = 62 if flat.dtype == jnp.float64 else 34
+    neg_inf = jnp.asarray(-jnp.inf, x.dtype)
+    hi0 = jnp.maximum(jnp.max(jnp.where(pos, x, neg_inf)), 0.0)
+    lo0 = jnp.zeros((2,), x.dtype)
+    hi0 = jnp.broadcast_to(hi0, (2,)).astype(x.dtype)
+    iters = 62 if x.dtype == jnp.float64 else 34
+    axes = tuple(range(1, x.ndim + 1))
 
     def body(_, carry):
         lo, hi = carry
         mid = 0.5 * (lo + hi)
         # count of positives <= mid, per target: smallest v with
         # count >= k+1 is the k-th order statistic (0-indexed)
-        cnt = jnp.sum(pos[None, :] & (flat[None, :] <= mid[:, None]), axis=1)
+        mid_b = mid.reshape((2,) + (1,) * x.ndim)
+        cnt = jnp.sum(pos[None] & (x[None] <= mid_b), axis=axes)
         ge = cnt >= (k12 + 1)
         return jnp.where(ge, lo, mid), jnp.where(ge, mid, hi)
 
@@ -184,7 +211,10 @@ def _use_pallas_median() -> bool:
     if os.getenv("QD_PALLAS_MEDIAN", "1") != "1":
         return False
     try:
-        return jax.default_backend() == "tpu"
+        # single-chip only: the VMEM-resident kernel ravels the field, which
+        # under SPMD would force an all-gather; the jnp bisection path reduces
+        # shard-locally instead
+        return jax.default_backend() == "tpu" and jax.device_count() == 1
     except Exception:
         return False
 

@@ -58,12 +58,56 @@ def _conv1d(F: jax.Array, kernel: tuple, axis: int, mode: str) -> jax.Array:
     return out
 
 
+def _conv1d_lon(F: jax.Array, kernel: tuple, mode: str) -> jax.Array:
+    """Longitude-axis (axis=1) convolution, SPMD-friendly.
+
+    The pad+slice formulation concatenates along the sharded axis, which the
+    GSPMD partitioner resolves with a full-field all-gather. Here the bulk of
+    the convolution is a roll accumulation (each roll = one halo
+    collective-permute under sharding); non-wrap boundary modes then correct
+    only the r seam columns at each edge from small replicated strips."""
+    r = (len(kernel) - 1) // 2
+    if r == 0:
+        return F
+    W = F.shape[1]
+    if W < 3 * r:  # tiny test grids: strips would overlap, use the pad path
+        return _conv1d(F, kernel, axis=1, mode=mode)
+    out = jnp.zeros_like(F)
+    for t, w in enumerate(kernel):
+        out = out + jnp.asarray(w, F.dtype) * jnp.roll(F, r - t, axis=1)
+    if mode == "wrap":
+        return out
+    # seam fix: output column j < r reads inputs j-r..j+r, where negative
+    # inputs come from the boundary mode instead of the wrap the rolls used.
+    # Recompute those r columns per edge from a [H, 3r] strip.
+    k = jnp.asarray(kernel, F.dtype)
+
+    def strip_conv(strip):  # valid conv over axis 1
+        m = strip.shape[1] - 2 * r
+        acc = jnp.zeros(strip.shape[:1] + (m,), F.dtype)
+        for t in range(2 * r + 1):
+            acc = acc + k[t] * jax.lax.slice_in_dim(strip, t, t + m, axis=1)
+        return acc
+
+    left_core = jax.lax.slice_in_dim(F, 0, 2 * r, axis=1)
+    right_core = jax.lax.slice_in_dim(F, W - 2 * r, W, axis=1)
+    left_strip = jnp.concatenate(
+        [_pad1d(left_core, r, 1, mode)[:, :r], left_core], axis=1)
+    right_strip = jnp.concatenate(
+        [right_core, _pad1d(right_core, r, 1, mode)[:, -r:]], axis=1)
+    out = jax.lax.dynamic_update_slice_in_dim(out, strip_conv(left_strip),
+                                              0, axis=1)
+    out = jax.lax.dynamic_update_slice_in_dim(out, strip_conv(right_strip),
+                                              W - r, axis=1)
+    return out
+
+
 def gaussian_filter(F: jax.Array, sigma: float, mode_lat: str = "reflect",
                     mode_lon: str = "reflect", truncate: float = 4.0) -> jax.Array:
     """Separable Gaussian blur. sigma==0 returns F unchanged."""
     if sigma is None or sigma <= 0.0:
         return F
     k = _gauss_kernel(float(sigma), truncate)
-    out = _conv1d(F, k, axis=0, mode=mode_lat)
-    out = _conv1d(out, k, axis=1, mode=mode_lon)
+    out = _conv1d(F, k, axis=0, mode=mode_lat)   # lat axis is never sharded
+    out = _conv1d_lon(out, k, mode=mode_lon)
     return out

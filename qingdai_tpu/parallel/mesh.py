@@ -8,10 +8,17 @@ and the global area-weighted reductions become psums. Latitude stays
 unsharded so the pole-row special cases (polar ring averaging, freeze fix)
 remain local to every shard.
 
-Semi-Lagrangian advection gathers are globally indexed, which under SPMD
-all-gathers the (small) advected field stacks — acceptable at this state size
-(a 181×360 field is 260 KB); a halo-bounded gather is the known follow-up for
-large multi-chip grids.
+Semi-Lagrangian advection is halo-bounded under SPMD: the windowed
+masked-roll formulation (ops/advect.py) reaches neighbors only through
+jnp.roll, which GSPMD lowers to nearest-neighbor collective-permutes of the
+halo columns, and every global reduction (compensated closure sums, median
+bisection counts, area means, renorms) reduces shard-locally before a scalar
+or single-row collective. Audited by scripts/analyze_sharding.py: no advected
+stack appears as an all-gather operand. The only all-gathers in the step are
+(a) the narrow polar exact-row band of the advection window (|offsets| exceed
+the roll window where cosφ→0; ~12 rows at 181×360), (b) one-row staging for
+the compensated sums, and (c) the routing event's field flatten — rivers form
+a global DAG across shards, and the event fires once per 6 simulated hours.
 """
 
 from __future__ import annotations
