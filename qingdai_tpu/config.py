@@ -819,6 +819,9 @@ class RunConfig:
     dtype: str = "float32"
     # scan chunking: host sync cadence (steps per jitted scan call)
     chunk_steps: int = 240
+    # diag-fetch batching: tunnel device_get costs ~0.4 s per CALL regardless
+    # of size, so diag stacks are fetched once per this many steps
+    diag_fetch_steps: int = 2400
 
     @staticmethod
     def from_env() -> "RunConfig":
@@ -853,6 +856,7 @@ class RunConfig:
             target_land_frac=_f("QD_TARGET_LAND_FRAC", 0.29),
             dtype=_s("QD_DTYPE", "float32"),
             chunk_steps=_i("QD_CHUNK_STEPS", 240),
+            diag_fetch_steps=_i("QD_DIAG_FETCH_STEPS", 2400),
         )
 
 

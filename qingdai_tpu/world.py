@@ -47,6 +47,9 @@ class QingdaiWorld:
         self._hydro_prev = None  # (time_s, total_reservoir_mean)
         self._oceanE_prev = None  # (sst_mean, sst_polar_mean) at last diag
         self._autosave_registered = False
+        self._autosave_future = None
+        self._diag_batch = []       # (diags_ref, step0) awaiting one fetch
+        self._diag_batch_steps = 0
         # single IO worker: NetCDF writes and rendering run off the chunk
         # loop's critical path (the reference blocks its loop on both;
         # SURVEY.md §5.5 "rendering moved off the critical path")
@@ -260,14 +263,23 @@ class QingdaiWorld:
         transfer also happens on the worker: over the axon tunnel a full-state
         device_get costs ~0.4 s, which would otherwise stall the scan loop
         every autosave. jax arrays are immutable, so capturing the current
-        state binding and fetching it later is safe."""
+        state binding and fetching it later is safe.
+
+        Back-pressure: if the previous autosave is still being written, this
+        tick is skipped instead of queued — otherwise a fast chunk loop piles
+        up full-state references (device memory) and the IO worker never
+        drains (the round-1 '10.4 sy/h through the runner' pathology)."""
+        if self._autosave_future is not None and not self._autosave_future.done():
+            return
         state_ref = self.state
         t_sec = self.t_seconds
         self._io_futures = [f for f in self._io_futures if not f.done()]
-        self._io_futures.append(self._io_pool.submit(
-            lambda: self._write_autosave(jax.device_get(state_ref), t_sec)))
+        self._autosave_future = self._io_pool.submit(
+            lambda: self._write_autosave(jax.device_get(state_ref), t_sec))
+        self._io_futures.append(self._autosave_future)
 
     def flush_io(self):
+        self._diag_flush()
         for f in list(self._io_futures):
             try:
                 f.result()
@@ -433,18 +445,42 @@ class QingdaiWorld:
                       f"{len(bad)} leaves: {', '.join(bad[:8])}")
         self._io_futures.append(self._io_pool.submit(check))
 
-    def _print_diags_async(self, diags, step0: int):
+    def _print_diags_async(self, diags, step0: int, flush: bool = False):
         """Queue diagnostic printing on the IO worker so the chunk loop never
-        blocks on the device→host fetch (each tunnel roundtrip is ~10 ms and
-        the stacked diag dict has ~30 leaves)."""
+        blocks on the device→host fetch.
+
+        Tunnel fetches cost ~0.4 s of latency per *call* regardless of size,
+        so per-chunk fetching caps the whole runner at ~2.4 ms/step. Chunks
+        are batched until ≥ QD_DIAG_FETCH_STEPS steps accumulate, then one
+        worker task fetches the whole batch in a single device_get."""
+        self._diag_batch.append((diags, step0))
+        self._diag_batch_steps += len(jax.tree_util.tree_leaves(diags)[0])
+        if flush or self._diag_batch_steps >= self.cfg.run.diag_fetch_steps:
+            self._diag_flush()
+
+    def _diag_flush(self):
+        if not self._diag_batch:
+            return
+        batch = self._diag_batch
+        self._diag_batch = []
+        self._diag_batch_steps = 0
+
+        def task():
+            host = jax.device_get([d for d, _ in batch])  # one transfer
+            for h, (_, s0) in zip(host, batch):
+                self._print_diags_host(h, s0)
+
         self._io_futures = [f for f in self._io_futures if not f.done()]
-        self._io_futures.append(
-            self._io_pool.submit(self._print_diags, diags, step0))
+        self._io_futures.append(self._io_pool.submit(task))
 
     def _print_diags(self, diags, step0: int):
+        """Fetch + print one chunk's diagnostics (kept for direct callers;
+        the run loop batches via _print_diags_async)."""
+        self._print_diags_host(jax.device_get(diags), step0)
+
+    def _print_diags_host(self, diags, step0: int):
         """Reference-tagged diagnostics at ~200-step cadence from the stacked
-        per-step scalars (SURVEY.md §5.5)."""
-        diags = jax.device_get(diags)  # one transfer for the whole chunk
+        per-step scalars (SURVEY.md §5.5); ``diags`` already on host."""
         n = len(diags["Ts_mean"])
         for i in range(n):
             gstep = step0 + i
