@@ -1,0 +1,85 @@
+"""Env-surface coverage for the round-2 knobs: VizConfig parsing, the
+QD_DYN_DIAG diagnostic stream, and QD_PHYTO_INIT_RANDOM."""
+
+import numpy as np
+import pytest
+
+
+def test_vizconfig_env_parsing(monkeypatch):
+    monkeypatch.setenv("QD_TRUECOLOR_ICE_FRAC", "0.3")
+    monkeypatch.setenv("QD_TRUECOLOR_SNOW_BY_SWE", "0")
+    monkeypatch.setenv("QD_SNOW_VIS_ALPHA", "0.9")
+    monkeypatch.setenv("QD_PLOT_RIVERS", "0")
+    monkeypatch.setenv("QD_RIVER_ALPHA", "0.1")
+    monkeypatch.setenv("QD_LAKE_ALPHA", "0.2")
+    monkeypatch.setenv("QD_PLOT_PS_MODE", "ABS")
+    monkeypatch.setenv("QD_PHYTO_VMAX", "3.5")
+    monkeypatch.setenv("QD_OC_BLEND", "0.5")
+    from qingdai_tpu.config import VizConfig
+    v = VizConfig.from_env()
+    assert v.truecolor_ice_frac == 0.3
+    assert v.truecolor_snow_by_swe is False
+    assert v.snow_vis_alpha == 0.9
+    assert v.plot_rivers is False
+    assert v.river_alpha == 0.1
+    assert v.lake_alpha == 0.2
+    assert v.ps_mode == "abs"
+    assert v.phyto_vmax == 3.5
+    assert v.oc_blend == 0.5
+
+
+def test_oc_gamma_falls_back_to_eco_gamma(monkeypatch):
+    """QD_OC_GAMMA defaults to QD_ECO_TRUECOLOR_GAMMA, else 2.2
+    (run_simulation.py:703)."""
+    from qingdai_tpu.config import VizConfig
+    monkeypatch.delenv("QD_OC_GAMMA", raising=False)
+    monkeypatch.delenv("QD_ECO_TRUECOLOR_GAMMA", raising=False)
+    assert VizConfig.from_env().oc_gamma == 2.2
+    monkeypatch.setenv("QD_ECO_TRUECOLOR_GAMMA", "1.4")
+    assert VizConfig.from_env().oc_gamma == 1.4
+    monkeypatch.setenv("QD_OC_GAMMA", "3.0")
+    assert VizConfig.from_env().oc_gamma == 3.0
+
+
+def test_dyn_diag_scalars_in_stream(monkeypatch, tmp_path):
+    monkeypatch.chdir(tmp_path)
+    monkeypatch.setenv("QD_N_LAT", "13")
+    monkeypatch.setenv("QD_N_LON", "24")
+    monkeypatch.setenv("QD_DYN_DIAG", "1")
+    monkeypatch.setenv("QD_AUTOSAVE_LOAD", "0")
+    from qingdai_tpu.world import QingdaiWorld
+    w = QingdaiWorld.create_default()
+    w.verbose = False
+    diags = w.step_chunk(4)
+    for k in ("dyn_var_u_pre", "dyn_var_u_post", "dyn_var_h_pre",
+              "dyn_var_h_post"):
+        assert k in diags
+        assert np.isfinite(np.asarray(diags[k])).all()
+    # the hyper4 filter removes variance: post <= pre (plus fp slack)
+    pre = np.asarray(diags["dyn_var_u_pre"][-1])
+    post = np.asarray(diags["dyn_var_u_post"][-1])
+    assert post <= pre * (1 + 1e-5)
+
+
+def test_phyto_init_random(monkeypatch):
+    from qingdai_tpu.config import PhytoConfig, EcologyConfig
+    from qingdai_tpu.ecology.phyto import build_phyto
+    land = np.zeros((13, 24), int)
+    land[4:8, 4:10] = 1
+    eco_cfg = EcologyConfig()
+    det = PhytoConfig(n_species=3)
+    rnd = __import__("dataclasses").replace(det, init_random=True)
+    _, st_det, _ = build_phyto((13, 24), land, det, eco_cfg, 50.0, seed=1)
+    _, st_r1, _ = build_phyto((13, 24), land, rnd, eco_cfg, 50.0, seed=1)
+    _, st_r2, _ = build_phyto((13, 24), land, rnd, eco_cfg, 50.0, seed=2)
+    C_det, C1, C2 = (np.asarray(s.C_phyto) for s in (st_det, st_r1, st_r2))
+    ocean = land == 0
+    # noise is multiplicative +-30% around the deterministic init, ocean-only
+    assert not np.allclose(C1, C_det)
+    assert not np.allclose(C1, C2)          # seed-dependent
+    assert (C1[:, ~ocean] == 0).all()       # land stays zero
+    np.testing.assert_array_less(np.abs(C1 - C_det)[:, ocean],
+                                 0.31 * C_det[:, ocean] + 1e-12)
+    # deterministic reproducibility for a fixed seed
+    _, st_r1b, _ = build_phyto((13, 24), land, rnd, eco_cfg, 50.0, seed=1)
+    np.testing.assert_array_equal(C1, np.asarray(st_r1b.C_phyto))
