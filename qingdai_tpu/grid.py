@@ -136,8 +136,15 @@ def _gradient_axis0_np(F: jax.Array, d: float) -> jax.Array:
 
 
 def _gradient_axis1_np(F: jax.Array, d: float) -> jax.Array:
-    """np.gradient along axis 1: central differences, one-sided at edges."""
-    interior = (F[:, 2:] - F[:, :-2]) / (2.0 * d)
+    """np.gradient along axis 1: central differences, one-sided at edges.
+
+    Roll-based so the sharded longitude axis stays halo-local under SPMD
+    (concatenating unequal-width slices along the sharded axis makes the
+    GSPMD partitioner fall back to a full-field all-gather); the two seam
+    columns are then overwritten with the one-sided np.gradient values."""
+    central = (jnp.roll(F, -1, axis=1) - jnp.roll(F, 1, axis=1)) / (2.0 * d)
     first = (F[:, 1:2] - F[:, 0:1]) / d
     last = (F[:, -1:] - F[:, -2:-1]) / d
-    return jnp.concatenate([first, interior, last], axis=1)
+    out = jax.lax.dynamic_update_slice_in_dim(central, first, 0, axis=1)
+    return jax.lax.dynamic_update_slice_in_dim(out, last, F.shape[1] - 1,
+                                               axis=1)
