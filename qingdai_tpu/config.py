@@ -822,6 +822,9 @@ class RunConfig:
     # diag-fetch batching: tunnel device_get costs ~0.4 s per CALL regardless
     # of size, so diag stacks are fetched once per this many steps
     diag_fetch_steps: int = 2400
+    # minimum wall seconds between periodic autosaves (the reference's
+    # 6-sim-hour cadence recurs every ~0.4 wall s at TPU speed)
+    autosave_min_wall_s: float = 30.0
 
     @staticmethod
     def from_env() -> "RunConfig":
@@ -857,6 +860,7 @@ class RunConfig:
             dtype=_s("QD_DTYPE", "float32"),
             chunk_steps=_i("QD_CHUNK_STEPS", 240),
             diag_fetch_steps=_i("QD_DIAG_FETCH_STEPS", 2400),
+            autosave_min_wall_s=_f("QD_AUTOSAVE_MIN_WALL_S", 30.0),
         )
 
 

@@ -138,10 +138,17 @@ def _gradient_axis0_np(F: jax.Array, d: float) -> jax.Array:
 def _gradient_axis1_np(F: jax.Array, d: float) -> jax.Array:
     """np.gradient along axis 1: central differences, one-sided at edges.
 
-    Roll-based so the sharded longitude axis stays halo-local under SPMD
-    (concatenating unequal-width slices along the sharded axis makes the
-    GSPMD partitioner fall back to a full-field all-gather); the two seam
-    columns are then overwritten with the one-sided np.gradient values."""
+    On multi-device runtimes this is roll-based so the sharded longitude
+    axis stays halo-local under SPMD (concatenating unequal-width slices
+    along the sharded axis makes the GSPMD partitioner fall back to a
+    full-field all-gather), with the two seam columns overwritten with the
+    one-sided np.gradient values. Single-device keeps the concat form,
+    which fuses tighter."""
+    if jax.device_count() == 1:
+        interior = (F[:, 2:] - F[:, :-2]) / (2.0 * d)
+        first = (F[:, 1:2] - F[:, 0:1]) / d
+        last = (F[:, -1:] - F[:, -2:-1]) / d
+        return jnp.concatenate([first, interior, last], axis=1)
     central = (jnp.roll(F, -1, axis=1) - jnp.roll(F, 1, axis=1)) / (2.0 * d)
     first = (F[:, 1:2] - F[:, 0:1]) / d
     last = (F[:, -1:] - F[:, -2:-1]) / d

@@ -68,25 +68,28 @@ def sum_compensated(x: jax.Array) -> jax.Array:
     enabling x64. Cost ≈ 2 plain sums (the shrinking levels total ~2n
     elementwise flops, fused by XLA).
 
-    SPMD layout note: a 2-D (lat, lon) field is reduced along the UNSHARDED
-    latitude axis first — pure per-column vector ops, no cross-shard data
-    motion — leaving one (lon,) row whose final tree is the only cross-shard
-    stage (a ~1 KB collective instead of the full-field all-gather a raveled
-    global tree would force)."""
+    SPMD layout note: on a multi-device runtime a 2-D (lat, lon) field is
+    reduced along the UNSHARDED latitude axis first — pure per-column vector
+    ops, no cross-shard data motion — leaving one (lon,) row whose final
+    tree is the only cross-shard stage (a ~1 KB collective instead of the
+    full-field all-gather a raveled global tree would force). Single-device
+    runtimes take the flat ravel tree, which XLA fuses tighter (the 2-stage
+    form measured ~35% slower per coupled step on TPU v5e together with the
+    other SPMD-safe forms; tests/test_sharding_collectives.py runs on the
+    8-device mesh so the SPMD property stays locked)."""
     if x.ndim == 0:
         return x, jnp.zeros_like(x)
     if x.size == 0:
         z = jnp.zeros((), x.dtype)
         return z, z
-    if x.ndim >= 2:
+    if x.ndim >= 2 and jax.device_count() > 1:
         # collapse leading (unsharded) axes into axis 0, keep the trailing
         # (possibly sharded) axis intact
         x2 = x.reshape(-1, x.shape[-1])
         hi_row, lo_row = _ff_tree_axis0(x2, jnp.zeros_like(x2))
-    else:
-        hi_row, lo_row = x, jnp.zeros_like(x)
-    hi, lo = _ff_tree_axis0(hi_row[:, None], lo_row[:, None])
-    return hi[0], lo[0]
+        return _ff_tree_axis0(hi_row, lo_row)
+    flat = x.ravel()
+    return _ff_tree_axis0(flat, jnp.zeros_like(flat))
 
 
 def area_mean_compensated(x: jax.Array, w: jax.Array,

@@ -70,7 +70,9 @@ def _conv1d_lon(F: jax.Array, kernel: tuple, mode: str) -> jax.Array:
     if r == 0:
         return F
     W = F.shape[1]
-    if W < 3 * r:  # tiny test grids: strips would overlap, use the pad path
+    # single-device: the pad+slice form fuses tighter on TPU (the roll+seam
+    # form is only needed for SPMD halo locality); tiny test grids likewise
+    if jax.device_count() == 1 or W < 3 * r:
         return _conv1d(F, kernel, axis=1, mode=mode)
     out = jnp.zeros_like(F)
     for t, w in enumerate(kernel):

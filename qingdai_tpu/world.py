@@ -48,6 +48,7 @@ class QingdaiWorld:
         self._oceanE_prev = None  # (sst_mean, sst_polar_mean) at last diag
         self._autosave_registered = False
         self._autosave_future = None
+        self._last_autosave_wall = -1e18
         self._diag_batch = []       # (diags_ref, step0) awaiting one fetch
         self._diag_batch_steps = 0
         # single IO worker: NetCDF writes and rendering run off the chunk
@@ -271,6 +272,14 @@ class QingdaiWorld:
         drains (the round-1 '10.4 sy/h through the runner' pathology)."""
         if self._autosave_future is not None and not self._autosave_future.done():
             return
+        # wall-clock floor: the reference's 6-SIM-hour cadence was ~86 wall
+        # seconds apart on its CPU; here 6 sim-hours pass in ~0.4 wall
+        # seconds, and each autosave costs ~0.4 s of exclusive tunnel time,
+        # which would halve throughput. Crash exposure = this floor.
+        now = time.time()
+        if now - self._last_autosave_wall < self.cfg.run.autosave_min_wall_s:
+            return
+        self._last_autosave_wall = now
         state_ref = self.state
         t_sec = self.t_seconds
         self._io_futures = [f for f in self._io_futures if not f.done()]
