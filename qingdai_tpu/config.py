@@ -825,6 +825,10 @@ class RunConfig:
     # minimum wall seconds between periodic autosaves (the reference's
     # 6-sim-hour cadence recurs every ~0.4 wall s at TPU speed)
     autosave_min_wall_s: float = 30.0
+    # lax.scan unroll of the inner step loop: >1 lets XLA fuse across steps
+    # (the step is op-overhead-bound, ~600 small fusions) at the cost of
+    # proportionally longer compiles
+    scan_unroll: int = 1
 
     @staticmethod
     def from_env() -> "RunConfig":
@@ -861,6 +865,7 @@ class RunConfig:
             chunk_steps=_i("QD_CHUNK_STEPS", 240),
             diag_fetch_steps=_i("QD_DIAG_FETCH_STEPS", 2400),
             autosave_min_wall_s=_f("QD_AUTOSAVE_MIN_WALL_S", 30.0),
+            scan_unroll=_i("QD_SCAN_UNROLL", 1),
         )
 
 

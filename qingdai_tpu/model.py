@@ -644,13 +644,14 @@ def make_chunk_fn(model: Model, chunk_steps: Optional[int] = None,
     aligned = (day_aligned and abs(spd * dt - day_s) < 1e-9
                and spd >= 2 and n % spd == 0)
 
+    unroll = max(1, model.cfg.run.scan_unroll)
     if not aligned:
         step = make_step_fn(model)
 
         def chunk(state: WorldState):
             def body(s, _):
                 return step(s)
-            return jax.lax.scan(body, state, None, length=n)
+            return jax.lax.scan(body, state, None, length=n, unroll=unroll)
 
         return chunk
 
@@ -666,7 +667,7 @@ def make_chunk_fn(model: Model, chunk_steps: Optional[int] = None,
         def day(s, _):
             s, d0 = step_first(s)
             s, d1 = jax.lax.scan(lambda s2, _: step_off(s2), s, None,
-                                 length=spd - 2)
+                                 length=spd - 2, unroll=unroll)
             s, d2 = step_on(s)
             d = jax.tree.map(
                 lambda a, b, c: jnp.concatenate([a[None], b, c[None]], axis=0),
