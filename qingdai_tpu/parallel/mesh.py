@@ -19,6 +19,9 @@ stack appears as an all-gather operand. The only all-gathers in the step are
 the roll window where cosφ→0; ~12 rows at 181×360), (b) one-row staging for
 the compensated sums, and (c) the routing event's field flatten — rivers form
 a global DAG across shards, and the event fires once per 6 simulated hours.
+The zonal-FFT band-stop filter (QD_SPEC_EVERY, off by default) transforms
+along the sharded axis and would gather if enabled under SPMD — prefer the
+default hyper4+Shapiro combo on meshes.
 """
 
 from __future__ import annotations
