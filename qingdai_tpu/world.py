@@ -206,7 +206,8 @@ class QingdaiWorld:
                 _, ph0, _ = phyto_mod.build_phyto(
                     (cfg.run.n_lat, cfg.run.n_lon), self.land_mask,
                     dataclasses.replace(cfg.phyto, init_random=False),
-                    cfg.ecology, cfg.ocean.H_m)
+                    cfg.ecology, cfg.ocean.H_m,
+                    dtype=self.state.phyto.N.dtype)
                 self.state = dataclasses.replace(self.state, phyto=ph0)
                 self._log("[Phyto] plankton.nc shape mismatch — state reset "
                           "to defaults.")

@@ -272,7 +272,8 @@ def main():
     result["phase2"]["series"] = {
         k: [round(float(x), 10) for x in s2[k]]
         for k in ("t_years", "TOA_net", "Ts_mean")}
-    np.savez("SPINUP_series.npz", **s2)  # full per-chunk diagnostic record
+    series_path = os.path.splitext(args.out)[0] + "_series.npz"
+    np.savez(series_path, **s2)  # full per-chunk diagnostic record
 
     # docs/11.3 phase-2 criteria; water/LH closures measured net of the
     # reference's global q-damping sink (see acceptance_metrics docstring)
