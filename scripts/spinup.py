@@ -73,7 +73,7 @@ def run_phase(name, years, env, chunk_days=10, verbose_every=50):
 
     print(f"[Spinup:{name}] {years} yr = {n_chunks} chunks x {chunk} steps "
           f"(grid {cfg.run.n_lat}x{cfg.run.n_lon}, MLD={cfg.ocean.H_m} m, "
-          f"t0={world.t_seconds/world.day_seconds:.1f} d)")
+          f"t0={world.t_seconds/world.day_seconds:.1f} d)", flush=True)
 
     series = {k: [] for k in KEYS + OPT_KEYS}
     t_years = []
