@@ -249,7 +249,10 @@ def main():
     t0 = time.time()
     result = {"protocol": "docs/11 two-phase SOP (scaled)",
               "grid": [args.nlat, args.nlon],
-              "phase1": {"years": args.phase1_years, "mld_m": args.mld1},
+              "phase1": ({"skipped": True,
+                          "note": "resumed from the existing autosave"}
+                         if args.skip_phase1 else
+                         {"years": args.phase1_years, "mld_m": args.mld1}),
               "phase2": {"years": args.phase2_years, "mld_m": args.mld2}}
 
     if not args.skip_phase1:
