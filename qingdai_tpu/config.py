@@ -203,6 +203,7 @@ class DynamicsConfig:
     diff_factor: float = 0.998
     dyn_diag: bool = False         # QD_DYN_DIAG: filter variance diagnostics
     adv_alpha: float = 0.2         # Ts/q semi-Lagrangian blend
+    adv_kmax: int = 4              # QD_ADV_KMAX: advection roll-window bound
     # cloud microstep
     cloud_couple: bool = True
     rh0: float = 0.6
@@ -242,6 +243,7 @@ class DynamicsConfig:
             spec_damp=_f("QD_SPEC_DAMP", 0.5),
             diff_factor=_f("QD_DIFF_FACTOR", 0.998),
             dyn_diag=_b("QD_DYN_DIAG", False),
+            adv_kmax=_i("QD_ADV_KMAX", 4),
             cloud_couple=_b("QD_CLOUD_COUPLE", True),
             rh0=_f("QD_RH0", 0.6),
             k_q=_f("QD_K_Q", 0.3),

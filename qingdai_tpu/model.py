@@ -101,10 +101,14 @@ def build_model(cfg: SimConfig, land_mask, base_albedo, friction,
 
     n_sub = static_substeps(grid, cfg.ocean, cfg.run.dt_seconds)
     dt = float(cfg.run.dt_seconds)
-    # static windowed-advection plans from the hard velocity caps
+    # static windowed-advection plans from the hard velocity caps.
+    # QD_ADV_KMAX widens/narrows the roll window (wider window = fewer
+    # exact-gather pole rows; 4 is the measured 181×360 sweet spot,
+    # ops/advect.py:113-117)
     plan_atmos = make_advect_plan(
         cfg.run.n_lat, grid.dlat_rad, grid.dlon_rad, dt, const.PLANET_RADIUS,
-        np.asarray(grid.coslat_cap_tiny)[:, 0], vmax=cfg.dynamics.max_wind)
+        np.asarray(grid.coslat_cap_tiny)[:, 0], vmax=cfg.dynamics.max_wind,
+        k_lon_max=cfg.dynamics.adv_kmax)
     plan_ocean = make_advect_plan(
         cfg.run.n_lat, grid.dlat_rad, grid.dlon_rad, dt / max(1, n_sub),
         const.PLANET_RADIUS, np.asarray(grid.coslat_cap_05)[:, 0],
