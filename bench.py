@@ -57,9 +57,11 @@ def ablate():
         per_step, _, _ = _measure(extra_env=env, n_chunks=3)
         if name == "full":
             base = per_step
+        # cost of the removed subsystem = full − without (positive when the
+        # subsystem costs time; negative means removing it is slower)
         out.append({"config": name, "ms_per_step": round(per_step * 1e3, 4),
-                    "delta_us_vs_full": None if name == "full" else
-                    round((per_step - base) * 1e6, 1)})
+                    "subsystem_cost_us": None if name == "full" else
+                    round((base - per_step) * 1e6, 1)})
         print(json.dumps(out[-1]), flush=True)
     return out
 

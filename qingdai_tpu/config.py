@@ -293,6 +293,7 @@ class OceanConfig:
     k4_v: Optional[float] = None
     k4_eta: Optional[float] = None
     energy_diag: bool = True
+    diag: bool = True           # QD_OCEAN_DIAG: [OceanDiag] KE/Umax print gate
     diag_every: int = 200
     polar_lat_diag: float = 60.0
     # TPU-native: static substep count (replaces reference's dynamic CFL loop,
@@ -333,6 +334,7 @@ class OceanConfig:
             k4_v=_opt_f("QD_OCEAN_K4_V"),
             k4_eta=_opt_f("QD_OCEAN_K4_ETA"),
             energy_diag=_b("QD_OCEAN_ENERGY_DIAG", True),
+            diag=_b("QD_OCEAN_DIAG", True),
             diag_every=_i("QD_OCEAN_DIAG_EVERY", 200),
             polar_lat_diag=_f("QD_OCEAN_POLAR_LAT", 60.0),
             n_substeps=_i("QD_OCEAN_NSUB", 0),
@@ -716,7 +718,13 @@ class PhytoConfig:
             N_init=_f("QD_PHYTO_N_INIT", 1.0),
             init_frac=_flist("QD_PHYTO_INIT_FRAC"),
             init_random=_b("QD_PHYTO_INIT_RANDOM", False),
-            dist_on_mismatch=_s("QD_PLANKTON_DIST_ON_MISMATCH", "keep").lower(),
+            # reference load_distribution_nc accepts keep|reset
+            # (phyto.py:672-681); 'default' is tolerated as an alias for
+            # reset (the vocabulary of the reference's NPZ-autosave path,
+            # phyto.py:589-649, which users may reach for)
+            dist_on_mismatch={"default": "reset"}.get(
+                _s("QD_PLANKTON_DIST_ON_MISMATCH", "keep").lower(),
+                _s("QD_PLANKTON_DIST_ON_MISMATCH", "keep").lower()),
             K_h=_f("QD_PHYTO_KH", _f("QD_KH_OCEAN", 5.0e3)),
             adv_alpha=_f("QD_PHYTO_ADV_ALPHA", 0.7),
             diag=_b("QD_PHYTO_DIAG", True),

@@ -225,9 +225,26 @@ class QingdaiWorld:
                               or os.path.exists(ckpt_path + ".npz")):
             try:
                 from .io import checkpoint as ckpt
-                self.state = ckpt.load_checkpoint(ckpt_path, self.state)
-                self._log("[Autosave] Full-pytree checkpoint restored "
-                          "(bit-exact resume).")
+                restored = ckpt.load_checkpoint(ckpt_path, self.state)
+                # staleness guard: a crash between the atmosphere.nc write and
+                # the sidecar write (or a 'checkpoint skipped' save) can leave
+                # the two artifacts from different instants. The sidecar's
+                # device clock must match atmosphere.nc's t_seconds to within
+                # one step (+ f32 clock spacing at this epoch); otherwise the
+                # NetCDF fields are the newer truth and the sidecar is dropped.
+                t_ckpt = float(np.asarray(restored.clock.t_seconds))
+                tol = 2.0 * self.model.dt + 2.0 * abs(np.spacing(
+                    np.float32(max(abs(t0), 1.0))))
+                if abs(t_ckpt - t0) <= tol:
+                    self.state = restored
+                    self._log("[Autosave] Full-pytree checkpoint restored "
+                              "(bit-exact resume).")
+                else:
+                    self._log(
+                        f"[Autosave] full-pytree sidecar is from a different "
+                        f"instant (t={t_ckpt:.0f}s vs atmosphere.nc "
+                        f"t={t0:.0f}s); ignoring it and continuing from the "
+                        "NetCDF fields.")
             except Exception as e:
                 self._log(f"[Autosave] full-pytree restore failed ({e}); "
                           "continuing from the NetCDF fields.")
@@ -532,7 +549,9 @@ class QingdaiWorld:
                 print(f"[PhytoDiag] ⟨Chl_tot⟩={d['chl_mean']:.3f} mg/m^3 | "
                       f"⟨Kd490⟩={d['kd490_mean']:.3f} m^-1 | "
                       f"⟨α_water⟩={d['alpha_water_mean']:.3f}")
-            if "ocean_KE_mean" in d:
+            if "ocean_KE_mean" in d and self.cfg.ocean.diag:
+                # gated by QD_OCEAN_DIAG like the reference
+                # (run_simulation.py:2264)
                 print(f"[OceanDiag] KE_mean={d['ocean_KE_mean']:.3e} m2/s2 | "
                       f"Umax={d['ocean_U_max']:.2f} m/s")
             if "oceanE_Q_mean" in d:

@@ -116,12 +116,18 @@ def run_phase(name, years, env, chunk_days=10, verbose_every=50):
                       world.land_mask, t_seconds=world.t_seconds)
     out = {k: np.asarray(v) for k, v in series.items()}
     out["t_years"] = np.asarray(t_years)
+    # carry the phase's actual config constants so acceptance_metrics never
+    # silently falls back to defaults when QD_DIFF_FACTOR/QD_DT_SECONDS/QD_LV
+    # are overridden (every closure criterion hinges on the q-damping sink
+    # computed from these)
+    out["_consts"] = np.asarray([cfg.dynamics.diff_factor, cfg.run.dt_seconds,
+                                 cfg.humidity.L_v])
     ts = np.asarray(world.state.atmos.T_s)
     assert np.isfinite(ts).all(), f"phase {name} ended with non-finite T_s"
     return out
 
 
-def acceptance_metrics(series, eval_years, diff_factor=0.998, dt=300.0):
+def acceptance_metrics(series, eval_years, diff_factor=None, dt=None, L_V=None):
     """Multi-year means + trends over the trailing eval window (docs/11.3).
 
     Water/LH closure caveat: the reference applies a global q *= diff_factor
@@ -133,10 +139,17 @@ def acceptance_metrics(series, eval_years, diff_factor=0.998, dt=300.0):
     check). The honest closure is E − (P+R) − sink ≈ 0, reported as
     ``water_residual_minus_qdamping_rel``."""
     from qingdai_tpu.physics.orbital import T_PLANET
+    # config constants from the phase's SimConfig (run_phase attaches them);
+    # explicit kwargs override, bare defaults only for legacy series
+    consts = np.asarray(series.get("_consts", [0.998, 300.0, 2.5e6]))
+    diff_factor = consts[0] if diff_factor is None else diff_factor
+    dt = consts[1] if dt is None else dt
+    L_V = consts[2] if L_V is None else L_V
     t = series["t_years"]
     sel = t >= (t[-1] - eval_years)
     n_eval = int(sel.sum())
-    w = {k: series[k][sel] for k in series if k != "t_years"}
+    w = {k: series[k][sel] for k in series
+         if k not in ("t_years", "_consts")}
     te = t[sel]
 
     # linear Ts trend in K per decade (10 Qingdai years)
@@ -169,7 +182,6 @@ def acceptance_metrics(series, eval_years, diff_factor=0.998, dt=300.0):
     # equilibrium E = P_cond + sink, so (E−P−R) should equal the sink
     cwv = float(np.mean(w["CWV_mean"]))
     q_sink = cwv * (1.0 - diff_factor) / dt
-    L_V = 2.5e6  # QD_LV default
     return {
         "eval_years": eval_years,
         "n_eval_chunks": n_eval,
