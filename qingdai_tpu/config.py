@@ -108,6 +108,12 @@ class EnergyConfig:
     tune_rate_eps: float = 5e-5
     tune_rate_kc: float = 2e-5
     autotune_diag: bool = True
+    # QD_ENERGY_AUDIT: per-step on-device attribution of every
+    # non-conservative energy term (nudge, q/h damping, clamps, advection,
+    # filters, flux-partition inconsistency, ocean SST overwrite) so the
+    # spin-up can close TOA_net against the measured sum instead of an
+    # asserted bound. ~12 extra area-means per step; off by default.
+    audit: bool = False
 
     @staticmethod
     def from_env() -> "EnergyConfig":
@@ -138,6 +144,7 @@ class EnergyConfig:
             tune_rate_eps=_f("QD_TUNE_RATE_EPS", 5e-5),
             tune_rate_kc=_f("QD_TUNE_RATE_KC", 2e-5),
             autotune_diag=_b("QD_ENERGY_AUTOTUNE_DIAG", True),
+            audit=_b("QD_ENERGY_AUDIT", False),
         )
 
 

@@ -58,6 +58,21 @@ def atmos_step(grid: Grid, cfg: SimConfig, static: StaticFields,
     u, v, h = atmos.u, atmos.v, atmos.h
     T_s, cloud, q, h_ice = atmos.T_s, atmos.cloud_cover, atmos.q, atmos.h_ice
 
+    # QD_ENERGY_AUDIT: per-step area-mean injection (W/m², signed +=creates
+    # tracked energy) of every non-conservative move, so TOA_net can be
+    # *attributed* instead of bounded (BASELINE.md "net of the q-damping
+    # sink"). Tracked reservoirs follow the model's own conventions:
+    # surface C_eff·T_s − ρ_i·L_f·h_ice, atmosphere κ·h with
+    # κ = ρ_a·g·H_atm (the inverse of integrate_atmos_energy_height),
+    # latent L_v·M_col·q.
+    audit = ecfg.audit
+    aud = {}
+    wm = (lambda x: jnp.sum(x * grid.area_w)
+          / (jnp.sum(grid.area_w) + 1e-15)) if audit else None
+    H_atm_a = dcfg.atm_h if dcfg.atm_h is not None else hcfg.h_mbl
+    kappa = max(1e-6, float(hcfg.rho_a)) * max(1.0, float(H_atm_a)) * dcfg.g
+    q_entry = q
+
     # 1) T_a proxy (dynamics.py:274)
     T_a = 288.0 + (dcfg.g / 1004.0) * h
 
@@ -70,6 +85,11 @@ def atmos_step(grid: Grid, cfg: SimConfig, static: StaticFields,
     P_cond, q_next = hum.condensation(q_evap, T_a, dt, hcfg)
     LH_release = hcfg.L_v * P_cond
     q = jnp.clip(q_next, 0.0, 0.5)
+    if audit:
+        # latent-reservoir residual of the humidity block (the q clip):
+        # actual L_v·M_col·Δq minus the expected L_v·(E − P_cond)
+        aud["aud_hum_resid"] = wm(
+            hcfg.L_v * (M_col * (q - q_entry) / dt - (E_flux - P_cond)))
 
     # 2) Surface temperature: Newton path (dynamics.py:302-322)
     absorbed_old = const.SIGMA * Teq ** 4
@@ -107,34 +127,63 @@ def atmos_step(grid: Grid, cfg: SimConfig, static: StaticFields,
 
     if dcfg.seaice_enabled:
         Cs_ocean = cfg.ocean.rho_w * cfg.ocean.cp_w * cfg.run.mld_m
-        Ts_energy, h_ice_next = en.integrate_surface_energy_with_seaice(
+        res = en.integrate_surface_energy_with_seaice(
             T_s, SW_sfc, LW_sfc, SH, LH, dt, static.land_mask, h_ice,
             Cs_ocean, cfg.run.cs_land, cfg.run.cs_ice,
             t_freeze=dcfg.t_freeze, rho_i=dcfg.rho_ice, L_f=dcfg.L_f,
             t_floor=ecfg.t_floor,
-            polar_fix_s=dcfg.polar_freeze_fix_s, polar_fix_n=dcfg.polar_freeze_fix_n)
+            polar_fix_s=dcfg.polar_freeze_fix_s,
+            polar_fix_n=dcfg.polar_freeze_fix_n, audit=audit)
+        Ts_energy, h_ice_next = res[0], res[1]
+        if audit:
+            aud["aud_sfc_resid"] = wm(res[2])
+            Cs_eff_out = jnp.where(
+                static.land_mask == 1, cfg.run.cs_land,
+                jnp.where(h_ice_next > 0.0, cfg.run.cs_ice, Cs_ocean))
     else:
-        Ts_energy = en.integrate_surface_energy_map(
-            T_s, SW_sfc, LW_sfc, SH, LH, dt, static.C_s_map, t_floor=ecfg.t_floor)
+        res = en.integrate_surface_energy_map(
+            T_s, SW_sfc, LW_sfc, SH, LH, dt, static.C_s_map,
+            t_floor=ecfg.t_floor, audit=audit)
+        if audit:
+            Ts_energy, sfc_resid = res
+            aud["aud_sfc_resid"] = wm(sfc_resid)
+            Cs_eff_out = jnp.where(
+                jnp.isfinite(static.C_s_map) & (static.C_s_map > 1e3),
+                static.C_s_map, 1e3)
+        else:
+            Ts_energy = res
         h_ice_next = h_ice
 
     # Blend (dynamics.py:440-449)
     w = min(1.0, max(0.0, dcfg.energy_w))
     T_s = (1.0 - w) * Ts_newton + w * Ts_energy
     h_ice = h_ice_next
+    if audit:
+        # Newton-blend departure from the energy-path surface update (0 at w=1)
+        aud["aud_ts_blend"] = wm(Cs_eff_out * (T_s - Ts_energy) / dt)
 
     # 2b) semi-Lagrangian advection of T_s and q (dynamics.py:453-461),
     # batched into one shared-index gather
     adv_alpha = dcfg.adv_alpha
     cos_tiny = grid.coslat_cap_tiny
+    Ts_preadv, q_preadv = T_s, q
     adv = advect_semilag_multi(jnp.stack([T_s, q]), u, v, dt, a, dlat, dlon,
                                cos_tiny, plan=adv_plan)
     T_s = (1.0 - adv_alpha) * T_s + adv_alpha * adv[0]
     q = jnp.clip((1.0 - adv_alpha) * q + adv_alpha * adv[1], 0.0, 0.5)
+    if audit:
+        # SL advection of T_s over a heterogeneous C_eff map (and of q, with
+        # its clip) redistributes temperature, not energy — measure the
+        # area-mean energy it creates/destroys
+        aud["aud_adv_ts"] = wm(Cs_eff_out * (T_s - Ts_preadv) / dt)
+        aud["aud_adv_q"] = wm(hcfg.L_v * M_col * (q - q_preadv) / dt)
 
     # 3) height forcing toward h_eq (dynamics.py:463-467)
     R_gas = 287.0
     h_eq = (R_gas / dcfg.g) * Teq
+    if audit:
+        # height-relaxation nudge: energy injected into the κ·h reservoir
+        aud["aud_nudge"] = wm(kappa * (h_eq - h) / dcfg.tau_rad)
     h = h + (h_eq - h) / dcfg.tau_rad * dt
 
     # M3: atmospheric energy → height (dynamics.py:469-480)
@@ -143,6 +192,21 @@ def atmos_step(grid: Grid, cfg: SimConfig, static: StaticFields,
         h = en.integrate_atmos_energy_height(h, SW_atm, LW_atm, SH, LH_release,
                                              dt, rho_air=hcfg.rho_a, H_atm=H_atm,
                                              g=dcfg.g, weight=dcfg.energy_w)
+    if audit:
+        F_atm = SW_atm + LW_atm + SH + LH_release
+        w_cpl = dcfg.energy_w if dcfg.energy_w > 0.0 else 0.0
+        # share of the atmospheric forcing never coupled into κ·h (0 at w=1)
+        aud["aud_uncoupled"] = wm((1.0 - w_cpl) * F_atm)
+        # flux-partition inconsistency: TOA_net minus everything the fluxes
+        # actually deliver (surface Q, atmos F_atm, the latent E−P gap).
+        # Includes the SW clip and — dominant — the reference's LW sign
+        # quirk: LW_sfc = DLR − σεTs⁴ (net downward) is SUBTRACTED in the
+        # surface integrator (reference energy.py:263-288 'net = SW_sfc −
+        # LW_sfc − SH − LH'), and under QD_GH_LOCK the OLR/DLR overrides
+        # leave LW_atm on the unlocked formula (reference energy.py:118-135).
+        aud["aud_part"] = wm((isr - R - OLR)
+                             - (SW_sfc - LW_sfc - SH - LH)
+                             - F_atm - (LH - LH_release))
 
     # 4) momentum (dynamics.py:482-530)
     dh_dlon, dh_dlat = grad_lonlat(grid, h)
@@ -173,6 +237,8 @@ def atmos_step(grid: Grid, cfg: SimConfig, static: StaticFields,
     # ride the diag dict and the host prints at the same cadence)
     if dcfg.dyn_diag:
         var_pre = (jnp.var(u), jnp.var(v), jnp.var(h))
+    if audit:
+        h_prefilt, q_prefilt = h, q
     cos02 = grid.coslat_cap_02
     if dcfg.diff_enable and dcfg.filter_type in ("hyper4", "combo"):
         k4_base = dcfg.sigma4 * grid.k4_map_unit / max(1e-12, dt)
@@ -246,6 +312,11 @@ def atmos_step(grid: Grid, cfg: SimConfig, static: StaticFields,
             _every(step_idx, dcfg.spec_every),
             _apply_spec, lambda ops: ops, (u, v, h))
 
+    if audit:
+        # hyper4/Shapiro/spectral drift of the tracked h and q reservoirs
+        aud["aud_filt"] = wm((kappa * (h - h_prefilt)
+                              + hcfg.L_v * M_col * (q - q_prefilt)) / dt)
+
     # Cloud advection + 2-day dissipation (dynamics.py:641-646)
     cloud = advect_semilag_multi(cloud[None], u, v, dt, a, dlat, dlon,
                                  cos_tiny, plan=adv_plan)[0]
@@ -253,6 +324,12 @@ def atmos_step(grid: Grid, cfg: SimConfig, static: StaticFields,
 
     # global mild diffusion and nan scrub (dynamics.py:648-667)
     df = dcfg.diff_factor
+    if audit:
+        # the ×diff_factor damping destroys κ·h and L_v·M_col·q each step —
+        # the dominant sinks (the q term is the "q-damping sink" BASELINE.md
+        # could previously only predict from ⟨CWV⟩; here it is measured)
+        aud["aud_hdamp"] = wm(-kappa * h * (1.0 - df) / dt)
+        aud["aud_qdamp"] = wm(-hcfg.L_v * M_col * q * (1.0 - df) / dt)
     u = jnp.nan_to_num(u * df)
     v = jnp.nan_to_num(v * df)
     h = jnp.nan_to_num(h * df)
@@ -268,6 +345,7 @@ def atmos_step(grid: Grid, cfg: SimConfig, static: StaticFields,
     aux = {"SW_atm": SW_atm, "SW_sfc": SW_sfc, "R": R,
            "LW_atm": LW_atm, "LW_sfc": LW_sfc, "OLR": OLR, "DLR": DLR,
            "SH": SH, "LH": LH, "T_a": T_a}
+    aux.update(aud)
     if dcfg.dyn_diag:
         aux["dyn_var_u_pre"], aux["dyn_var_v_pre"], aux["dyn_var_h_pre"] = var_pre
         aux["dyn_var_u_post"] = jnp.var(u)

@@ -81,6 +81,28 @@ def save_restart(path, grid_lat, grid_lon, state, land_mask,
         ds.setncattr("format", "v1")
 
 
+def save_restart_fields(path, grid_lat, grid_lon, fields: dict,
+                        t_seconds: Optional[float] = None) -> None:
+    """save_restart variant over a plain {name: 2-D array} dict (used by the
+    offline regrid tool, scripts/regrid_restart.py)."""
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    with Dataset(path, "w") as ds:
+        ds.createDimension("lat", len(grid_lat))
+        ds.createDimension("lon", len(grid_lon))
+        ds.createVariable("lat", "f4", ("lat",))[:] = _np(grid_lat)
+        ds.createVariable("lon", "f4", ("lon",))[:] = _np(grid_lon)
+        for name, data in fields.items():
+            if data is None or np.ndim(data) != 2:
+                continue
+            ds.createVariable(name, "f4", ("lat", "lon"))[:] = \
+                _np(data).astype(np.float32)
+        vts = ds.createVariable("t_seconds", "f8", ())
+        vts[...] = float(t_seconds) if t_seconds is not None else 0.0
+        ds.setncattr("title", "Qingdai GCM Restart")
+        ds.setncattr("creator", "qingdai_tpu")
+        ds.setncattr("format", "v1")
+
+
 def load_restart(path) -> dict:
     """Load restart file → dict of arrays (None for missing variables)."""
     out = {}

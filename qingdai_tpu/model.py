@@ -175,6 +175,16 @@ def init_world(model: Model, t0_seconds: float = 0.0, seed: int = 42,
 # The step
 # ---------------------------------------------------------------------------
 
+# QD_ENERGY_AUDIT per-step attribution scalars (area-mean W/m², signed
+# + = injects tracked energy). "aud_part"/"aud_uncoupled" are flux-identity
+# terms; the rest are internal reservoir injections. See dynamics.py audit
+# block and scripts/spinup.py acceptance_metrics for the closure.
+AUDIT_KEYS = (
+    "aud_part", "aud_uncoupled", "aud_hum_resid", "aud_sfc_resid",
+    "aud_ts_blend", "aud_adv_ts", "aud_adv_q", "aud_nudge", "aud_filt",
+    "aud_hdamp", "aud_qdamp", "aud_overwrite",
+)
+
 def make_step_fn(model: Model, daily_mode: str = "cond",
                  phyto_mode: str = "cond"):
     """Returns step(state) -> (state, diag) — pure, jittable, scannable.
@@ -490,6 +500,16 @@ def make_step_fn(model: Model, daily_mode: str = "cond",
                                           tracers=tracers,
                                           adv_plan=model.adv_plan_ocean)
             ocean_open = ocean_mask & (~ice_mask)
+            if cfg.energy.audit:
+                # SST overwrite: the slab's T_s replaces the energy-path T_s
+                # over open ocean (driver :2252-2253); the discarded/added
+                # energy (slab advection redistribution, its own Q_net dose,
+                # clamps, polar fills) is an internal injection of the
+                # surface reservoir at the ocean heat capacity
+                Cs_ocn = cfg.ocean.rho_w * cfg.ocean.cp_w * cfg.run.mld_m
+                aux["aud_overwrite"] = area_mean(
+                    jnp.where(ocean_open, Cs_ocn * (ocn.sst - atmos.T_s) / dt,
+                              0.0), grid.area_w)
             atmos = dataclasses.replace(
                 atmos, T_s=jnp.where(ocean_open, ocn.sst, atmos.T_s))
 
@@ -575,6 +595,14 @@ def make_step_fn(model: Model, daily_mode: str = "cond",
             "v_max": jnp.max(jnp.abs(atmos.v)),
             "Qnet_mean": area_mean(Q_net, grid.area_w, mask=ocean_mask),
         }
+        # QD_ENERGY_AUDIT: non-conservative energy attribution scalars
+        # (dynamics.py audit block + the SST-overwrite term above). The host
+        # closes TOA_net against these: in equilibrium
+        #   TOA_net ≈ aud_part + aud_uncoupled − Σ(internal injections).
+        if cfg.energy.audit:
+            for k in AUDIT_KEYS:
+                diag[k] = aux.get(k, jnp.zeros_like(diag["TOA_net"]))
+
         # [DynDiag] filter variance scalars (QD_DYN_DIAG, dynamics.py:543-607)
         if cfg.dynamics.dyn_diag:
             for k in ("dyn_var_u_pre", "dyn_var_v_pre", "dyn_var_h_pre",
@@ -623,6 +651,13 @@ def make_step_fn(model: Model, daily_mode: str = "cond",
             diag.update({
                 "routing_ocean_inflow_kgps": routing_state.ocean_inflow_kgps,
                 "routing_mass_error_kg": routing_state.mass_error_kg,
+                # decomposition (routing.py RoutingState): mass_error =
+                # store_out − lake_delta exactly; stranded = the reference's
+                # lake-outlet-ordering artifact (dropped mass, quantified)
+                "routing_stranded_kg": routing_state.stranded_kg,
+                "routing_routed_mass_kg": routing_state.routed_mass_kg,
+                "routing_store_out_kg": routing_state.store_out_kg,
+                "routing_lake_delta_kg": routing_state.lake_delta_kg,
             })
         return new_state, diag
 

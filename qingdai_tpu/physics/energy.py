@@ -81,12 +81,20 @@ def longwave_radiation_v2(Ts, Ta, cloud_eff, eps_sfc, cfg: EnergyConfig, eps0=No
     return LW_atm, LW_sfc, OLR, DLR, eps_eff
 
 
-def integrate_surface_energy_map(Ts, SW_sfc, LW_sfc, SH, LH, dt, C_s_map, t_floor=150.0):
-    """Per-grid heat-capacity explicit update (energy.py:263-288)."""
+def integrate_surface_energy_map(Ts, SW_sfc, LW_sfc, SH, LH, dt, C_s_map,
+                                 t_floor=150.0, audit=False):
+    """Per-grid heat-capacity explicit update (energy.py:263-288).
+
+    ``audit=True`` additionally returns the integrator's non-conservative
+    energy injection field in W/m² (here: only the t_floor clamp)."""
     net = SW_sfc - LW_sfc - SH - LH
     C_s_safe = jnp.where(jnp.isfinite(C_s_map) & (C_s_map > 1e3), C_s_map, 1e3)
     Ts_next = Ts + (net / C_s_safe) * dt
-    return jnp.maximum(t_floor, Ts_next)
+    Ts_out = jnp.maximum(t_floor, Ts_next)
+    if audit:
+        resid = C_s_safe * (Ts_out - Ts_next) / dt
+        return Ts_out, resid
+    return Ts_out
 
 
 def integrate_surface_energy_with_seaice(Ts, SW_sfc, LW_sfc, SH, LH, dt,
@@ -94,12 +102,21 @@ def integrate_surface_energy_with_seaice(Ts, SW_sfc, LW_sfc, SH, LH, dt,
                                          Cs_ocean, Cs_land, Cs_ice,
                                          t_freeze=271.35, rho_i=917.0, L_f=3.34e5,
                                          t_floor=150.0,
-                                         polar_fix_s=True, polar_fix_n=True):
+                                         polar_fix_s=True, polar_fix_n=True,
+                                         audit=False):
     """Minimal sea-ice thermodynamics (energy.py:291-420), mask-free rewrite.
 
     Melt first where ice present and Q_net>0 (capped by thickness), freeze
     where cooling near/below freezing, residual heats/cools surface through an
     effective capacity, polar freeze fix at rows 0/−1, ice-top clamp.
+
+    ``audit=True`` additionally returns the integrator's non-conservative
+    energy injection field in W/m²: the actual change of the tracked surface
+    reservoir E = C_eff·T_s − ρ_i·L_f·h_ice (with C_eff evaluated at entry /
+    exit ice state, so heat-capacity switching is included) minus the Q_net·dt
+    the fluxes legitimately delivered. Captures the freeze min-clamp, polar
+    freeze fix, ice-top clamp, t_floor, and C_eff switching in one exact
+    bracket.
     """
     Q_net = SW_sfc - LW_sfc - SH - LH
     land = (land_mask == 1)
@@ -138,7 +155,18 @@ def integrate_surface_energy_with_seaice(Ts, SW_sfc, LW_sfc, SH, LH, dt,
 
     Ts3 = jnp.where((h_ice2 > 0.0) & ocean, jnp.minimum(Ts2, t_freeze), Ts2)
     Ts3 = jnp.maximum(t_floor, Ts3)
-    return Ts3, jnp.maximum(h_ice2, 0.0)
+    h_ice_out = jnp.maximum(h_ice2, 0.0)
+    if audit:
+        Cs_in = jnp.where(land, Cs_land, jnp.where(h_ice > 0.0, Cs_ice, Cs_ocean))
+        Cs_in = jnp.where(jnp.isfinite(Cs_in) & (Cs_in > 1e3), Cs_in, 1e3)
+        # difference-first form: Ts3−Ts is exact in f32 (close values), while
+        # Cs·Ts products are ~6e10 with ~4 kJ/m² rounding that would swamp
+        # the per-step signal
+        dE_actual = (Cs_eff * (Ts3 - Ts) + (Cs_eff - Cs_in) * Ts
+                     - rho_i * L_f * (h_ice_out - h_ice))
+        resid = dE_actual / dt - Q_net
+        return Ts3, h_ice_out, resid
+    return Ts3, h_ice_out
 
 
 def boundary_layer_fluxes(Ts, Ta, u, v, land_mask, cfg: EnergyConfig, rho=1.2):

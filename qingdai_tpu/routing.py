@@ -53,6 +53,13 @@ class RoutingStatic:
     to_store_ordered: jax.Array  # bool along `order`
     lake_slot_ordered: jax.Array  # int32 lake id − 1 (clipped) along `order`
     dn_pos_ordered: jax.Array   # int32 position of eff_down within `order` (0 for ocean/store)
+    # static stranding mask: effective-downstream whose turn in the
+    # reference's flow_order PRECEDES the source's — the reference's
+    # `acc[dn] += m` then lands after dn's turn and the mass never moves
+    # again (routing.py:270-301). Excluding these edges from propagation
+    # reproduces the reference's per-event ocean/storage/flow_accum counts
+    # exactly (late arrivals are never re-counted).
+    backward_ordered: jax.Array  # bool along `order`
 
 
 @jax.tree_util.register_dataclass
@@ -64,6 +71,24 @@ class RoutingState:
     ocean_inflow_kgps: jax.Array  # scalar
     mass_error_kg: jax.Array    # scalar closure error of last event
     lake_volume_kg: jax.Array   # (n_lakes,) or (1,) if no lakes
+    # decomposition of mass_error_kg (reference routing.py:320-331 semantics):
+    #   mass_error = store_out − lake_delta          (exact identity)
+    #   routed_mass = ocean_out + store_out + stranded
+    # stranded_kg is the mass parked on already-processed cells by the lake
+    # pass-through: a lake's outlet usually sits UPSTREAM of the lake in the
+    # topological order (rim cells flow into the lake), so the reference's
+    # own sequential loop does `acc[outlet] += m` after the outlet's turn has
+    # passed and the mass never moves again — it is counted as
+    # `residual_cells_mass` and dropped when the event buffer resets
+    # (reference routing.py:270-301). The level pass reproduces the same
+    # stranding (the backward edge lands on an already-final carry row).
+    # NOT a conservation bug of this implementation — a quantified,
+    # reference-shared artifact, asserted via the decomposition identity in
+    # the spin-up acceptance.
+    stranded_kg: jax.Array      # scalar: input − ocean_out − stored
+    routed_mass_kg: jax.Array   # scalar: total mass entering the event
+    store_out_kg: jax.Array     # scalar: mass stored to endorheic lakes
+    lake_delta_kg: jax.Array    # scalar: lake P−E volume add of the event
 
 
 def build_routing_static(net: dict, grid: Grid, dtype=jnp.float32) -> RoutingStatic:
@@ -126,6 +151,18 @@ def build_routing_static(net: dict, grid: Grid, dtype=jnp.float32) -> RoutingSta
     dn_pos_ordered = inv_pos[np.clip(dn_ordered, 0, n_cells - 1)]
     dn_pos_ordered[to_ocean_ordered | to_store_ordered] = 0
 
+    # backward edges per the reference's own flow_order positions (mass along
+    # them strands; see RoutingStatic.backward_ordered)
+    # fallback when a synthetic dict lacks flow_order: the level-sorted order
+    # is itself a valid topological order for the non-lake edges
+    fo = np.asarray(net.get("flow_order", order)).astype(np.int64).ravel()
+    order_pos = np.full(n_cells, -1, np.int64)
+    order_pos[fo] = np.arange(fo.size)
+    is_cell_edge = ~(to_ocean_ordered | to_store_ordered)
+    backward_ordered = is_cell_edge & (
+        order_pos[np.clip(dn_ordered, 0, n_cells - 1)] < order_pos[order])
+    dn_pos_ordered[backward_ordered] = 0
+
     return RoutingStatic(
         n_levels=n_levels,
         n_lakes=max(n_lakes, 0),
@@ -143,6 +180,7 @@ def build_routing_static(net: dict, grid: Grid, dtype=jnp.float32) -> RoutingSta
         to_store_ordered=jnp.asarray(to_store_ordered),
         lake_slot_ordered=jnp.asarray(lake_slot_ordered.astype(np.int32)),
         dn_pos_ordered=jnp.asarray(dn_pos_ordered.astype(np.int32)),
+        backward_ordered=jnp.asarray(backward_ordered),
     )
 
 
@@ -156,13 +194,17 @@ def init_routing_state(static: RoutingStatic, dtype=jnp.float32) -> RoutingState
         ocean_inflow_kgps=jnp.asarray(0.0, dtype),
         mass_error_kg=jnp.asarray(0.0, dtype),
         lake_volume_kg=jnp.zeros((nl,), dtype),
+        stranded_kg=jnp.asarray(0.0, dtype),
+        routed_mass_kg=jnp.asarray(0.0, dtype),
+        store_out_kg=jnp.asarray(0.0, dtype),
+        lake_delta_kg=jnp.asarray(0.0, dtype),
     )
 
 
 def _route_event(rs: RoutingStatic, acc: jax.Array, lake_volume: jax.Array):
     """Route accumulated mass level by level over statically-sliced compact
     segments of the level-sorted land-cell list. Returns
-    (flow_accum_kg, ocean_out_kg, lake_volume', residual_kg).
+    (flow_accum_kg, ocean_out_kg, store_out_kg, lake_volume', residual_kg).
 
     The whole event runs on the compact [n_land] level-ordered vector: one
     gather in, per-level scatters on the small vector (a full-grid scatter
@@ -181,7 +223,10 @@ def _route_event(rs: RoutingStatic, acc: jax.Array, lake_volume: jax.Array):
         m = jax.lax.slice_in_dim(carry, s, e)
         to_ocean = jax.lax.slice_in_dim(rs.to_ocean_ordered, s, e)
         to_store = jax.lax.slice_in_dim(rs.to_store_ordered, s, e)
-        fwd = jnp.where(to_ocean | to_store, 0.0, m)
+        backward = jax.lax.slice_in_dim(rs.backward_ordered, s, e)
+        # backward-edge mass strands (reference flow_order semantics): it is
+        # counted in THIS row's throughput but never propagates
+        fwd = jnp.where(to_ocean | to_store | backward, 0.0, m)
         dnp = jax.lax.slice_in_dim(rs.dn_pos_ordered, s, e)
         carry = carry.at[dnp].add(fwd)
     # carry[i] is final once level(i) has processed: downstream positions sit
@@ -199,7 +244,7 @@ def _route_event(rs: RoutingStatic, acc: jax.Array, lake_volume: jax.Array):
     store_out = so_h + so_l
     # exact-arithmetic zero, like the reference loop's leftover sum
     residual = (mi_h - oo_h - so_h) + (mi_l - oo_l - so_l)
-    return flow_accum, ocean_out, lake_vol, residual
+    return flow_accum, ocean_out, store_out, lake_vol, residual
 
 
 def routing_step(rs: RoutingStatic, state: RoutingState, cfg: HydrologyConfig,
@@ -219,7 +264,8 @@ def routing_step(rs: RoutingStatic, state: RoutingState, cfg: HydrologyConfig,
         mi_h, mi_l = sum_compensated(jnp.where(rs.land_flat, acc, 0.0))
         mass_input = mi_h + mi_l
         lake_vol = state.lake_volume_kg
-        flow_accum, ocean_out, lake_vol, residual = _route_event(rs, acc, lake_vol)
+        flow_accum, ocean_out, store_out, lake_vol, residual = _route_event(
+            rs, acc, lake_vol)
 
         # lake P−E volume update over the event window (routing.py:305-318)
         lake_delta = jnp.asarray(0.0, acc.dtype)
@@ -230,6 +276,10 @@ def routing_step(rs: RoutingStatic, state: RoutingState, cfg: HydrologyConfig,
             lake_vol = lake_vol + rs.lake_area_frac * lake_add
             lake_delta = lake_add
 
+        # reference semantics (routing.py:320-331): closure_err = input −
+        # (ocean + lakeΔ + residual); with the exact-arithmetic residual ≈ 0
+        # this reduces to stored-to-lakes − lake P−E — the decomposition
+        # carried alongside makes that explicit in every record
         closure_err = mass_input - (ocean_out + lake_delta + residual)
         return RoutingState(
             buffer_kg=jnp.zeros_like(buffer_kg),
@@ -238,6 +288,10 @@ def routing_step(rs: RoutingStatic, state: RoutingState, cfg: HydrologyConfig,
             ocean_inflow_kgps=ocean_out / jnp.maximum(event_dt, 1e-9),
             mass_error_kg=closure_err,
             lake_volume_kg=lake_vol,
+            stranded_kg=residual,
+            routed_mass_kg=mass_input,
+            store_out_kg=store_out,
+            lake_delta_kg=lake_delta,
         )
 
     def wait(_):
@@ -247,6 +301,10 @@ def routing_step(rs: RoutingStatic, state: RoutingState, cfg: HydrologyConfig,
             ocean_inflow_kgps=state.ocean_inflow_kgps,
             mass_error_kg=state.mass_error_kg,
             lake_volume_kg=state.lake_volume_kg,
+            stranded_kg=state.stranded_kg,
+            routed_mass_kg=state.routed_mass_kg,
+            store_out_kg=state.store_out_kg,
+            lake_delta_kg=state.lake_delta_kg,
         )
 
     return cond_keep_dtypes(t_accum + 1e-9 >= dt_hydro, fire, wait, None)
