@@ -5,9 +5,26 @@ network, ecology, plankton — SURVEY.md §5.4). This environment ships h5py but
 not netCDF4, so this module provides ``Dataset`` with the subset of the
 netCDF4 API the framework uses (createDimension/createVariable/variables/
 __getitem__/setncattr/getncattr/ncattrs), backed by the real netCDF4 library
-when importable and otherwise by h5py writing HDF5 files with netCDF-style
-dimension scales (the on-disk container of NETCDF4 files, so files interchange
-with netCDF4/xarray readers).
+when importable and otherwise by h5py.
+
+The h5py writer produces the actual **netCDF-4 on-disk layout** (the same
+convention h5netcdf implements and the netCDF-C library requires, so the
+files open as valid NETCDF4 in netCDF4-python/xarray — not just "HDF5 with
+arrays"):
+
+- every dimension is an HDF5 *dimension scale*: a coordinate variable of the
+  same name doubles as the scale (``CLASS=DIMENSION_SCALE``, ``NAME`` = the
+  dimension name); a dimension without a coordinate variable gets a stub
+  dataset whose NAME is netCDF-C's canonical
+  ``"This is a netCDF dimension but not a netCDF variable.%10d" % size``
+  (libsrc4 ``DIM_WITHOUT_VARIABLE`` marker);
+- each data variable's axes carry ``DIMENSION_LIST`` object references to
+  their scales (h5py ``dims[i].attach_scale``), with the matching
+  ``REFERENCE_LIST`` back-references on the scales;
+- each dimension dataset records its creation order in ``_Netcdf4Dimid``.
+
+The layout is asserted structurally by tests/test_netcdf_interchange.py via
+h5py's independent implementation of the HDF5 dimension-scale spec.
 """
 
 from __future__ import annotations
@@ -98,8 +115,17 @@ class _H5Dataset:
         self.variables = {}
         if mode == "r":
             for k, v in self._f.items():
-                if isinstance(v, h5py.Dataset):
-                    self.variables[k] = _H5ReadVariable(v)
+                if not isinstance(v, h5py.Dataset):
+                    continue
+                # netCDF-4 semantics: a dimension-only stub dataset (the
+                # DIM_WITHOUT_VARIABLE marker) is not a variable
+                nm = v.attrs.get("NAME")
+                if isinstance(nm, bytes):
+                    nm = nm.decode(errors="replace")
+                if isinstance(nm, str) and nm.startswith(
+                        "This is a netCDF dimension but not a netCDF"):
+                    continue
+                self.variables[k] = _H5ReadVariable(v)
 
     # --- write API ---
     def createDimension(self, name, size=None):
@@ -141,7 +167,41 @@ class _H5Dataset:
     def __getitem__(self, name):
         return self.variables[name]
 
+    def _wire_dimension_scales(self):
+        """Finalize the netCDF-4 dimension-scale layout (module docstring):
+        promote coordinate variables to scales, create DIM_WITHOUT_VARIABLE
+        stubs, attach DIMENSION_LIST references on every data variable."""
+        dim_ds = {}
+        for i, (name, size) in enumerate(self._dims.items()):
+            if name in self.variables:
+                d = self.variables[name].ds
+                if d.shape == ():
+                    continue  # scalar can't be a scale; dim stays phony
+                d.make_scale(name)
+            else:
+                n = int(size) if size else 0
+                d = self._f.create_dataset(name, shape=(n,), dtype="f4")
+                d.make_scale(
+                    "This is a netCDF dimension but not a netCDF "
+                    "variable.%10d" % n)
+            d.attrs["_Netcdf4Dimid"] = np.int32(i)
+            dim_ds[name] = d
+        for name, var in self.variables.items():
+            dims = [x.decode() if isinstance(x, bytes) else str(x)
+                    for x in var.ds.attrs.get("_nc_dims", [])]
+            for ax, dname in enumerate(dims):
+                if dname == name:
+                    continue  # a coordinate variable is its own scale
+                if dname in dim_ds and ax < len(var.ds.dims):
+                    var.ds.dims[ax].attach_scale(dim_ds[dname])
+
     def close(self):
+        if self._mode != "r":
+            try:
+                self._wire_dimension_scales()
+            except (OSError, RuntimeError, ValueError) as e:  # never lose data over layout
+                import warnings
+                warnings.warn(f"netCDF-4 dimension-scale wiring failed: {e}")
         self._f.close()
 
     def __enter__(self):

@@ -389,6 +389,8 @@ def main():
             (not np.isfinite(m2["routing_mass_error_decomp_resid_rel"]))
             or m2["routing_mass_error_decomp_resid_rel"] < 1e-4,
     }
+    # numpy scalars (np.bool_/np.float64) are not JSON-serializable
+    crit = {k: bool(v) for k, v in crit.items()}
     result["acceptance"] = crit
     result["accepted"] = all(crit.values())
     result["wall_hours"] = round((time.time() - t0) / 3600.0, 3)
