@@ -102,6 +102,13 @@ class AdvectPlan:
     # [-ceil(b), floor(b)+1] instead of the integer-symmetric window
     b_lon: float = None
     b_lat: float = None
+    # multi-chip: when a Mesh is attached (parallel.mesh.shard_model_statics
+    # does this), the roll window runs under shard_map with ONE K-wide halo
+    # exchange per call (2 collective-permutes) instead of a
+    # collective-permute per lon roll (~10-12 per call under plain GSPMD) —
+    # the dominant term of the ~900 permutes/step the round-2 audit counted.
+    mesh: object = None
+    axis_name: str = "lon"
 
 
 def make_advect_plan(n_lat: int, dlat: float, dlon: float, dt: float, a: float,
@@ -156,16 +163,18 @@ def _advect_windowed(fields, dep_j, dep_i, plan: AdvectPlan):
         ks = list(range(-K - 1, K + 2))
         ms = list(range(-KL, KL + 2))
     one = jnp.asarray(1.0, fields.dtype)
-    # direct accumulation over the (m, k) shift window: every term reads a
-    # shifted view of the SAME buffer, so XLA fuses the whole double loop
-    # into a single stencil-like pass — materializing lat-rolled stacks (the
-    # earlier formulation) cost n_m× more accumulator traffic
-    out = jnp.zeros_like(fields)
-    for m in ms:
-        Wm = jnp.where(oj == m, one - fj, 0.0) + jnp.where(oj == m - 1, fj, 0.0)
-        for k in ks:
-            Wk = jnp.where(oi == k, one - fi, 0.0) + jnp.where(oi == k - 1, fi, 0.0)
-            out = out + (Wm * Wk)[None] * jnp.roll(fields, (-m, -k), axis=(1, 2))
+    out = _windowed_accumulate_spmd(fields, oj, oi, fj, fi, ms, ks, plan)
+    if out is None:
+        # direct accumulation over the (m, k) shift window: every term reads
+        # a shifted view of the SAME buffer, so XLA fuses the whole double
+        # loop into a single stencil-like pass — materializing lat-rolled
+        # stacks (the earlier formulation) cost n_m× more accumulator traffic
+        out = jnp.zeros_like(fields)
+        for m in ms:
+            Wm = jnp.where(oj == m, one - fj, 0.0) + jnp.where(oj == m - 1, fj, 0.0)
+            for k in ks:
+                Wk = jnp.where(oi == k, one - fi, 0.0) + jnp.where(oi == k - 1, fi, 0.0)
+                out = out + (Wm * Wk)[None] * jnp.roll(fields, (-m, -k), axis=(1, 2))
 
     if plan.exact_rows:
         bands = _exact_bands(plan.exact_rows, H)
@@ -196,6 +205,72 @@ def _advect_windowed(fields, dep_j, dep_i, plan: AdvectPlan):
             out_r = bilinear_wrap_gather_multi(fields, dep_j[rows, :], dep_i[rows, :])
             out = out.at[:, rows, :].set(out_r)
     return out
+
+
+def _windowed_accumulate_spmd(fields, oj, oi, fj, fi, ms, ks, plan):
+    """Multi-chip path of the windowed accumulation: one K-wide longitude
+    halo exchange (2 collective-permutes) per call via shard_map, then every
+    (m, k) shift is a LOCAL slice of the padded block — numerically identical
+    to the global jnp.roll loop, which GSPMD would otherwise lower as one
+    collective-permute per lon shift (~10-12 per call, ~900/step total at
+    181×360; perf-notes "Multi-chip lowering").
+
+    Returns None when not applicable (no mesh attached / single device /
+    shard narrower than the halo), signalling the caller to use the global
+    path."""
+    mesh = plan.mesh
+    if mesh is None or jax.device_count() <= 1:
+        return None
+    import os
+    if os.getenv("QD_SPMD_HALO", "1") in ("0", "false"):
+        return None  # A/B switch for the collective audit
+    from jax import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    ax = plan.axis_name
+    n = int(mesh.shape[ax])
+    M, H, W = fields.shape
+    if W % n != 0:
+        return None
+    Wl = W // n
+    halo_l = max(0, -min(ks))
+    halo_r = max(0, max(ks))
+    if Wl < max(halo_l, halo_r) or n <= 1:
+        return None
+
+    one = jnp.asarray(1.0, fields.dtype)
+    Wms = jnp.stack([jnp.where(oj == m, one - fj, 0.0)
+                     + jnp.where(oj == m - 1, fj, 0.0) for m in ms])
+    Wks = jnp.stack([jnp.where(oi == k, one - fi, 0.0)
+                     + jnp.where(oi == k - 1, fi, 0.0) for k in ks])
+    spec = P(None, None, ax)
+
+    def local(f_l, wm_l, wk_l):
+        # halo fill: ppermute [(i, i+1)] hands every shard its LEFT
+        # neighbor's edge columns (dst receives src), and vice versa; the
+        # modular wrap realizes the periodic lon seam.
+        perm_from_left = [(i, (i + 1) % n) for i in range(n)]
+        perm_from_right = [(i, (i - 1) % n) for i in range(n)]
+        parts = []
+        if halo_l:
+            parts.append(jax.lax.ppermute(f_l[:, :, -halo_l:], ax,
+                                          perm=perm_from_left))
+        parts.append(f_l)
+        if halo_r:
+            parts.append(jax.lax.ppermute(f_l[:, :, :halo_r], ax,
+                                          perm=perm_from_right))
+        pad = jnp.concatenate(parts, axis=2)
+        out_l = jnp.zeros_like(f_l)
+        for mi, m in enumerate(ms):
+            pm = jnp.roll(pad, -m, axis=1)  # lat is unsharded: local wrap
+            for ki, k in enumerate(ks):
+                sl = jax.lax.slice_in_dim(pm, halo_l + k, halo_l + k + Wl,
+                                          axis=2)
+                out_l = out_l + (wm_l[mi] * wk_l[ki])[None] * sl
+        return out_l
+
+    return shard_map(local, mesh=mesh, in_specs=(spec, spec, spec),
+                     out_specs=spec)(fields, Wms, Wks)
 
 
 def _exact_bands(exact_rows, H):

@@ -59,6 +59,25 @@ def _ff_tree_axis0(hi: jax.Array, lo: jax.Array):
     return hi[0], lo[0]
 
 
+def _ff_tree_axis_last(hi: jax.Array, lo: jax.Array):
+    """Halve-and-TwoSum float-float reduction along the LAST axis; every
+    level is elementwise over the leading axes, so a leading-sharded operand
+    reduces fully shard-locally."""
+    n = hi.shape[-1]
+    p = 1 << max(0, int(n - 1).bit_length())
+    if p != n:
+        z = jnp.zeros(hi.shape[:-1] + (p - n,), hi.dtype)
+        hi = jnp.concatenate([hi, z], axis=-1)
+        lo = jnp.concatenate([lo, z], axis=-1)
+    while hi.shape[-1] > 1:
+        h = hi.shape[-1] // 2
+        s, e = _two_sum(hi[..., :h], hi[..., h:])
+        t = lo[..., :h] + lo[..., h:] + e
+        hi, e2 = _two_sum(s, t)
+        lo = e2
+    return hi[..., 0], lo[..., 0]
+
+
 def sum_compensated(x: jax.Array) -> jax.Array:
     """Float-float pairwise sum of all elements; returns (hi, lo) pair.
 
@@ -87,6 +106,19 @@ def sum_compensated(x: jax.Array) -> jax.Array:
         # (possibly sharded) axis intact
         x2 = x.reshape(-1, x.shape[-1])
         hi_row, lo_row = _ff_tree_axis0(x2, jnp.zeros_like(x2))
+        # final (lon,) row: a straight halving tree cross-pairs shards at
+        # every level (~28 tiny collective-permutes per sum — the dominant
+        # permute source of the round-2 audit, ~560/step across ~20 sites).
+        # Blocking the row as [n_shards, W/n] makes all but the last ~log(n)
+        # levels shard-local: the axis-(-1) tree is elementwise over the
+        # sharded axis, and only the final [n] vector ladders across shards.
+        n = jax.device_count()
+        W = hi_row.shape[0]
+        if n > 1 and W % n == 0 and W // n > 1:
+            hb = hi_row.reshape(n, W // n)
+            lb = lo_row.reshape(n, W // n)
+            hi_s, lo_s = _ff_tree_axis_last(hb, lb)
+            return _ff_tree_axis0(hi_s, lo_s)
         return _ff_tree_axis0(hi_row, lo_row)
     flat = x.ravel()
     return _ff_tree_axis0(flat, jnp.zeros_like(flat))

@@ -70,4 +70,16 @@ def shard_model_statics(model, mesh: Mesh, axis_name: str = "lon"):
     import dataclasses as dc
     grid = jax.tree_util.tree_map(put, model.grid)
     static = jax.tree_util.tree_map(put, model.static)
-    return dc.replace(model, grid=grid, static=static)
+    # attach the mesh to the advection plans: the windowed accumulation then
+    # runs under shard_map with one batched K-wide halo exchange per call
+    # instead of a collective-permute per lon roll (ops/advect.py
+    # _windowed_accumulate_spmd)
+    def with_mesh(plan):
+        if plan is None:
+            return None
+        return dc.replace(plan, mesh=mesh, axis_name=axis_name)
+
+    return dc.replace(model, grid=grid, static=static,
+                      adv_plan_atmos=with_mesh(model.adv_plan_atmos),
+                      adv_plan_ocean=with_mesh(model.adv_plan_ocean),
+                      adv_plan_phyto=with_mesh(model.adv_plan_phyto))
