@@ -267,12 +267,16 @@ def atmos_step(grid: Grid, cfg: SimConfig, static: StaticFields,
         # two batched calls split at the u/v/h boundary.
         def _apply_hyper(s):
             if dcfg.k4_nsub <= 1:
-                return hyperdiffuse_multi(s, k4_stack, dt, 1, dlat, dlon, cos02, a)
+                return hyperdiffuse_multi(s, k4_stack, dt, 1, dlat, dlon,
+                                          cos02, a, mesh=grid.mesh,
+                                          axis_name=grid.mesh_axis)
             uvh = hyperdiffuse_multi(s[:3], k4_stack[:3], dt, dcfg.k4_nsub,
-                                     dlat, dlon, cos02, a)
+                                     dlat, dlon, cos02, a, mesh=grid.mesh,
+                                     axis_name=grid.mesh_axis)
             if s.shape[0] > 3:
                 qc = hyperdiffuse_multi(s[3:], k4_stack[3:], dt, 1,
-                                        dlat, dlon, cos02, a)
+                                        dlat, dlon, cos02, a, mesh=grid.mesh,
+                                        axis_name=grid.mesh_axis)
                 return jnp.concatenate([uvh, qc], axis=0)
             return uvh
 
@@ -290,7 +294,8 @@ def atmos_step(grid: Grid, cfg: SimConfig, static: StaticFields,
     if dcfg.filter_type in ("shapiro", "combo", "hyper4") and dcfg.shapiro_every > 0:
         def _apply_shapiro(ops):
             u_, v_, h_, q_, c_ = ops
-            uvh = shapiro_filter_multi(jnp.stack([u_, v_, h_]), n=dcfg.shapiro_n)
+            uvh = shapiro_filter_multi(jnp.stack([u_, v_, h_]), n=dcfg.shapiro_n,
+                                       mesh=grid.mesh, axis_name=grid.mesh_axis)
             u_, v_, h_ = uvh[0], uvh[1], uvh[2]
             if dcfg.diff_q:
                 q_ = shapiro_filter(q_, n=max(1, dcfg.shapiro_n - 1))

@@ -41,6 +41,12 @@ class Grid:
     area_w: jax.Array       # max(cosφ, 0) area weights
     cell_area: jax.Array    # true spherical cell areas (m^2), routing.py:176-200
     k4_map_unit: jax.Array  # min(a·dlat, a·dlon·max(cos,1e-3))^4 — hyperdiff metric
+    # multi-chip: parallel.mesh.shard_model_statics attaches the device mesh
+    # so the roll-based stencils batch their lon halo exchanges under
+    # shard_map (ops/stencil.py) instead of one collective-permute per roll
+    mesh: object = dataclasses.field(default=None, metadata=dict(static=True))
+    mesh_axis: str = dataclasses.field(default="lon",
+                                       metadata=dict(static=True))
 
     @property
     def shape(self):

@@ -302,7 +302,8 @@ def make_step_fn(model: Model, daily_mode: str = "cond",
         else:
             P_ref = masked_median_of_positive(precip, fallback=1e-6)
         C_from_P = ph.cloud_from_precip(precip, C_max=pcfg.c_max, P_ref=P_ref,
-                                        smooth_sigma=1.0)
+                                        smooth_sigma=1.0, mesh=grid.mesh,
+                                        axis_name=grid.mesh_axis)
         cloud_source = ph.parameterize_cloud_cover(grid, atmos.T_s, atmos.u, atmos.v)
         tendency = cloud_source * (dt / (6 * 3600.0))
         w_sum = pcfg.w_mem + pcfg.w_p + pcfg.w_src
@@ -326,7 +327,9 @@ def make_step_fn(model: Model, daily_mode: str = "cond",
                                              plan=model.adv_plan_atmos)[0]
             if pcfg.cloud_smooth_sigma > 0.0:
                 cloud_adv = gaussian_filter(cloud_adv, pcfg.cloud_smooth_sigma,
-                                            mode_lat="wrap", mode_lon="wrap")
+                                            mode_lat="wrap", mode_lon="wrap",
+                                            mesh=grid.mesh,
+                                            axis_name=grid.mesh_axis)
             cloud = jnp.clip((1.0 - pcfg.cloud_adv_alpha) * cloud
                              + pcfg.cloud_adv_alpha * cloud_adv, 0.0, 1.0)
         atmos = dataclasses.replace(atmos, cloud_cover=cloud)

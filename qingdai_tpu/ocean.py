@@ -180,7 +180,8 @@ def ocean_step(grid: Grid, cfg: OceanConfig, land_mask,
                              jnp.broadcast_to(k4_v, uo_.shape),
                              jnp.broadcast_to(k4_eta, uo_.shape)])
             out = hyperdiffuse_multi(stack, k4s, sub_dt, cfg.k4_nsub,
-                                     dlat, dlon, coslat, a)
+                                     dlat, dlon, coslat, a, mesh=grid.mesh,
+                                     axis_name=grid.mesh_axis)
             return out[0], out[1], out[2]
         if cfg.diff_every == 1:
             uo, vo, eta = _diff((uo, vo, eta))
@@ -189,7 +190,9 @@ def ocean_step(grid: Grid, cfg: OceanConfig, land_mask,
 
         if apply_shap:
             def _shap(ops):
-                out = shapiro_filter_multi(jnp.stack(ops), cfg.shapiro_n)
+                out = shapiro_filter_multi(jnp.stack(ops), cfg.shapiro_n,
+                                           mesh=grid.mesh,
+                                           axis_name=grid.mesh_axis)
                 return out[0], out[1], out[2]
             uo, vo, eta = cond_keep_dtypes(shap_pred, _shap, lambda o: o, (uo, vo, eta))
 

@@ -58,14 +58,17 @@ def _conv1d(F: jax.Array, kernel: tuple, axis: int, mode: str) -> jax.Array:
     return out
 
 
-def _conv1d_lon(F: jax.Array, kernel: tuple, mode: str) -> jax.Array:
+def _conv1d_lon(F: jax.Array, kernel: tuple, mode: str,
+                mesh=None, axis_name: str = "lon") -> jax.Array:
     """Longitude-axis (axis=1) convolution, SPMD-friendly.
 
     The pad+slice formulation concatenates along the sharded axis, which the
     GSPMD partitioner resolves with a full-field all-gather. Here the bulk of
     the convolution is a roll accumulation (each roll = one halo
-    collective-permute under sharding); non-wrap boundary modes then correct
-    only the r seam columns at each edge from small replicated strips."""
+    collective-permute under sharding); with a mesh attached the whole tap
+    loop instead runs on an r-halo padded local block under shard_map (2
+    collective-permutes total). Non-wrap boundary modes then correct only
+    the r seam columns at each edge from small replicated strips."""
     r = (len(kernel) - 1) // 2
     if r == 0:
         return F
@@ -74,9 +77,27 @@ def _conv1d_lon(F: jax.Array, kernel: tuple, mode: str) -> jax.Array:
     # form is only needed for SPMD halo locality); tiny test grids likewise
     if jax.device_count() == 1 or W < 3 * r:
         return _conv1d(F, kernel, axis=1, mode=mode)
-    out = jnp.zeros_like(F)
-    for t, w in enumerate(kernel):
-        out = out + jnp.asarray(w, F.dtype) * jnp.roll(F, r - t, axis=1)
+    from .stencil import _halo_pad_lon, _spmd_ready
+    ndev = _spmd_ready(mesh, axis_name, W, r)
+    if ndev is not None:
+        from jax import shard_map
+        from jax.sharding import PartitionSpec as P
+        Wl = W // ndev
+        k = jnp.asarray(kernel, F.dtype)
+
+        def local(f_l):
+            pad = _halo_pad_lon(f_l, r, axis_name, ndev)
+            acc = jnp.zeros_like(f_l)
+            for t in range(2 * r + 1):
+                acc = acc + k[t] * jax.lax.slice_in_dim(pad, t, t + Wl, axis=1)
+            return acc
+
+        out = shard_map(local, mesh=mesh, in_specs=(P(None, axis_name),),
+                        out_specs=P(None, axis_name))(F)
+    else:
+        out = jnp.zeros_like(F)
+        for t, w in enumerate(kernel):
+            out = out + jnp.asarray(w, F.dtype) * jnp.roll(F, r - t, axis=1)
     if mode == "wrap":
         return out
     # seam fix: output column j < r reads inputs j-r..j+r, where negative
@@ -105,11 +126,13 @@ def _conv1d_lon(F: jax.Array, kernel: tuple, mode: str) -> jax.Array:
 
 
 def gaussian_filter(F: jax.Array, sigma: float, mode_lat: str = "reflect",
-                    mode_lon: str = "reflect", truncate: float = 4.0) -> jax.Array:
-    """Separable Gaussian blur. sigma==0 returns F unchanged."""
+                    mode_lon: str = "reflect", truncate: float = 4.0,
+                    mesh=None, axis_name: str = "lon") -> jax.Array:
+    """Separable Gaussian blur. sigma==0 returns F unchanged. ``mesh``
+    engages the batched-halo SPMD longitude pass (see _conv1d_lon)."""
     if sigma is None or sigma <= 0.0:
         return F
     k = _gauss_kernel(float(sigma), truncate)
     out = _conv1d(F, k, axis=0, mode=mode_lat)   # lat axis is never sharded
-    out = _conv1d_lon(out, k, mode=mode_lon)
+    out = _conv1d_lon(out, k, mode=mode_lon, mesh=mesh, axis_name=axis_name)
     return out

@@ -20,6 +20,38 @@ import jax.numpy as jnp
 from ..grid import _gradient_axis0_np
 
 
+# ---------------------------------------------------------------------------
+# Multi-chip halo batching. Under GSPMD every jnp.roll along the sharded
+# longitude axis lowers to its own collective-permute; the stencil chains
+# (∇⁴ = two Laplacians, n-pass Shapiro) therefore cost 4+ permutes per call.
+# When a mesh is attached (grid.mesh, set by parallel.mesh.shard_model_statics)
+# the chain runs under shard_map instead: ONE halo exchange of the full
+# stencil depth (2 permutes), then every shift is a local slice. Numerically
+# identical — the wrap-contaminated halo columns are cropped.
+# ---------------------------------------------------------------------------
+
+def _halo_pad_lon(f_l, halo, ax, n):
+    """Pad the local lon block with `halo` columns from each neighbor
+    (periodic). 2 collective-permutes regardless of halo width."""
+    perm_from_left = [(i, (i + 1) % n) for i in range(n)]
+    perm_from_right = [(i, (i - 1) % n) for i in range(n)]
+    left = jax.lax.ppermute(f_l[..., -halo:], ax, perm=perm_from_left)
+    right = jax.lax.ppermute(f_l[..., :halo], ax, perm=perm_from_right)
+    return jnp.concatenate([left, f_l, right], axis=-1)
+
+
+def _spmd_ready(mesh, ax, W, halo):
+    if mesh is None or jax.device_count() <= 1:
+        return None
+    import os
+    if os.getenv("QD_SPMD_HALO", "1") in ("0", "false"):
+        return None
+    n = int(mesh.shape[ax])
+    if n <= 1 or W % n != 0 or W // n < halo:
+        return None
+    return n
+
+
 def laplacian_sphere(F: jax.Array, dlat: float, dlon: float,
                      coslat: jax.Array, a: float) -> jax.Array:
     """Spherical Laplacian in divergence form with cosφ weighting.
@@ -54,18 +86,43 @@ def hyperdiffuse(F: jax.Array, k4, dt: float, n_substeps: int,
 
 def hyperdiffuse_multi(F: jax.Array, k4_stack, dt: float, n_substeps: int,
                        dlat: float, dlon: float, coslat: jax.Array,
-                       a: float) -> jax.Array:
+                       a: float, mesh=None, axis_name: str = "lon") -> jax.Array:
     """Hyperdiffusion of stacked fields [M, H, W] in one pass.
 
     ``k4_stack`` broadcasts against [M, H, W] (per-field scalars as [M,1,1] or
     shared 2-D maps as [1,H,W]). The Laplacian stencil is identical for every
     field, so batching turns M×(two Laplacians) into one [M,H,W] vector pass —
     the same index-sharing economics as advect_semilag_multi.
+
+    With ``mesh`` (multi-chip), the ∇⁴ = two-Laplacian chain computes on a
+    2-halo padded local block per substep: 2 collective-permutes instead of 4.
     """
     n = max(1, int(n_substeps))
     sub_dt = dt / n
     cos = coslat[None]
     out = F
+    ndev = _spmd_ready(mesh, axis_name, F.shape[-1], 2)
+    if ndev is not None:
+        from jax import shard_map
+        from jax.sharding import PartitionSpec as P
+        Wl = F.shape[-1] // ndev
+        spec = P(None, None, axis_name)
+
+        def l4(f_l, cos_l):
+            pad = _halo_pad_lon(f_l, 2, axis_name, ndev)
+            # cosφ varies only with latitude — replicate an interior column
+            # into the halo instead of exchanging
+            cos_p = jnp.concatenate([cos_l[..., :1]] * 2 + [cos_l]
+                                    + [cos_l[..., :1]] * 2, axis=-1)
+            L = _laplacian_sphere_batched(pad, dlat, dlon, cos_p, a)
+            L2 = _laplacian_sphere_batched(L, dlat, dlon, cos_p, a)
+            # local wrap contaminates ≤2 columns per edge — exactly the halo
+            return jax.lax.slice_in_dim(L2, 2, 2 + Wl, axis=2)
+
+        l4_sm = shard_map(l4, mesh=mesh, in_specs=(spec, spec), out_specs=spec)
+        for _ in range(n):
+            out = out - k4_stack * l4_sm(out, cos) * sub_dt
+        return out
     for _ in range(n):
         L = _laplacian_sphere_batched(out, dlat, dlon, cos, a)
         L2 = _laplacian_sphere_batched(L, dlat, dlon, cos, a)
@@ -92,15 +149,39 @@ def _grad_axis_np(F: jax.Array, d: float, axis: int) -> jax.Array:
     return jnp.concatenate([first, interior, last], axis=axis)
 
 
-def shapiro_filter_multi(F: jax.Array, n: int = 2) -> jax.Array:
-    """Shapiro 1-2-1 over stacked fields [M, H, W] (lon wrap, lat nearest)."""
-    out = F
-    for _ in range(max(1, int(n))):
-        out = 0.25 * jnp.roll(out, 1, axis=2) + 0.5 * out + 0.25 * jnp.roll(out, -1, axis=2)
-        up = jnp.concatenate([out[:, :1], out[:, :-1]], axis=1)
-        dn = jnp.concatenate([out[:, 1:], out[:, -1:]], axis=1)
-        out = 0.25 * up + 0.5 * out + 0.25 * dn
-    return out
+def shapiro_filter_multi(F: jax.Array, n: int = 2, mesh=None,
+                         axis_name: str = "lon") -> jax.Array:
+    """Shapiro 1-2-1 over stacked fields [M, H, W] (lon wrap, lat nearest).
+
+    With ``mesh`` (multi-chip), all n passes run on an n-halo padded local
+    block: 2 collective-permutes total instead of 2 per pass."""
+    n = max(1, int(n))
+
+    def passes(out, n_passes):
+        for _ in range(n_passes):
+            out = (0.25 * jnp.roll(out, 1, axis=2) + 0.5 * out
+                   + 0.25 * jnp.roll(out, -1, axis=2))
+            up = jnp.concatenate([out[:, :1], out[:, :-1]], axis=1)
+            dn = jnp.concatenate([out[:, 1:], out[:, -1:]], axis=1)
+            out = 0.25 * up + 0.5 * out + 0.25 * dn
+        return out
+
+    ndev = _spmd_ready(mesh, axis_name, F.shape[-1], n)
+    if ndev is not None:
+        from jax import shard_map
+        from jax.sharding import PartitionSpec as P
+        Wl = F.shape[-1] // ndev
+        spec = P(None, None, axis_name)
+
+        def local(f_l):
+            pad = _halo_pad_lon(f_l, n, axis_name, ndev)
+            # each pass's local wrap contaminates one more edge column —
+            # the n-wide halo absorbs all of it
+            return jax.lax.slice_in_dim(passes(pad, n), n, n + Wl, axis=2)
+
+        return shard_map(local, mesh=mesh, in_specs=(spec,),
+                         out_specs=spec)(F)
+    return passes(F, n)
 
 
 def _conv1d_lon_121(F: jax.Array) -> jax.Array:

@@ -69,6 +69,7 @@ def shard_model_statics(model, mesh: Mesh, axis_name: str = "lon"):
 
     import dataclasses as dc
     grid = jax.tree_util.tree_map(put, model.grid)
+    grid = dc.replace(grid, mesh=mesh, mesh_axis=axis_name)
     static = jax.tree_util.tree_map(put, model.static)
     # attach the mesh to the advection plans: the windowed accumulation then
     # runs under shard_map with one batched K-wide halo exchange per call

@@ -27,15 +27,17 @@ def diagnose_precipitation(grid: Grid, u, v, cloud_cover, D_crit, k_precip,
         mask = 1.0 / (1.0 + jnp.exp(-10.0 * (cc - cloud_threshold)))
         precip = precip * mask
     if smooth_sigma and smooth_sigma > 0:
-        precip = gaussian_filter(precip, smooth_sigma)
+        precip = gaussian_filter(precip, smooth_sigma, mesh=grid.mesh,
+                                 axis_name=grid.mesh_axis)
     return precip
 
 
-def cloud_from_precip(precip, C_max=0.95, P_ref=2e-5, smooth_sigma=1.0):
+def cloud_from_precip(precip, C_max=0.95, P_ref=2e-5, smooth_sigma=1.0,
+                      mesh=None, axis_name="lon"):
     """C = C_max tanh(P/P_ref), smoothed and clipped (physics.py:48-70)."""
     C = C_max * jnp.tanh(precip / (P_ref + 1e-12))
     if smooth_sigma and smooth_sigma > 0:
-        C = gaussian_filter(C, smooth_sigma)
+        C = gaussian_filter(C, smooth_sigma, mesh=mesh, axis_name=axis_name)
     return jnp.clip(C, 0.0, 1.0)
 
 
@@ -55,7 +57,8 @@ def parameterize_cloud_cover(grid: Grid, T_s, u, v):
     gTy = (jnp.roll(T_s, -1, axis=0) - jnp.roll(T_s, 1, axis=0)) / (2.0 * dy)
     adv = -(u * gTx + v * gTy)
     fsrc = 0.3 * jnp.clip(jnp.tanh(jnp.abs(adv) / 2e-5), 0.0, 1.0)
-    src = gaussian_filter(evap_src + vsrc + fsrc, 1.0)
+    src = gaussian_filter(evap_src + vsrc + fsrc, 1.0, mesh=grid.mesh,
+                          axis_name=grid.mesh_axis)
     return jnp.clip(src, 0.0, 1.0)
 
 
@@ -75,7 +78,8 @@ def compute_orographic_factor(grid: Grid, elevation, u, v, k_orog=7e-4,
     uplift = jnp.maximum(0.0, u * n_x + v * n_y)
     factor = jnp.clip(1.0 + k_orog * uplift, 1.0, cap)
     if smooth_sigma and smooth_sigma > 0:
-        factor = gaussian_filter(factor, smooth_sigma)
+        factor = gaussian_filter(factor, smooth_sigma, mesh=grid.mesh,
+                                 axis_name=grid.mesh_axis)
     return factor
 
 
@@ -129,7 +133,8 @@ def diagnose_precipitation_hybrid(grid: Grid, u, v, cloud_cover, P_cond,
     P = P_raw * s
 
     if smooth_sigma and smooth_sigma > 0:
-        P = gaussian_filter(P, smooth_sigma)
+        P = gaussian_filter(P, smooth_sigma, mesh=grid.mesh,
+                            axis_name=grid.mesh_axis)
 
     if cfg.p_hybrid_fallback:
         Pq_mean = area_mean(Pq, w)
