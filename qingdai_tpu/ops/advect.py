@@ -165,6 +165,12 @@ def _advect_windowed(fields, dep_j, dep_i, plan: AdvectPlan):
     one = jnp.asarray(1.0, fields.dtype)
     out = _windowed_accumulate_spmd(fields, oj, oi, fj, fi, ms, ks, plan)
     if out is None:
+        # single-chip TPU: the whole window on a VMEM-resident stack — one
+        # HBM read + one write instead of ~|ms|·|ks| shifted passes
+        from .pallas_advect import advect_windowed_pallas, use_pallas_advect
+        if use_pallas_advect(fields.shape, fields.dtype):
+            out = advect_windowed_pallas(fields, dep_j, dep_i, ms, ks)
+    if out is None:
         # direct accumulation over the (m, k) shift window: every term reads
         # a shifted view of the SAME buffer, so XLA fuses the whole double
         # loop into a single stencil-like pass — materializing lat-rolled

@@ -39,6 +39,7 @@ class RoutingStatic:
     n_levels: int = dataclasses.field(metadata=dict(static=True))
     n_lakes: int = dataclasses.field(metadata=dict(static=True))
     level_starts: tuple = dataclasses.field(metadata=dict(static=True))
+    grid_shape: tuple = dataclasses.field(metadata=dict(static=True))
     land_flat: jax.Array        # bool
     level: jax.Array            # int32, −1 for ocean
     eff_down: jax.Array         # int32: downstream idx, OCEAN or STORE
@@ -65,7 +66,13 @@ class RoutingStatic:
 @jax.tree_util.register_dataclass
 @dataclasses.dataclass
 class RoutingState:
-    buffer_kg: jax.Array        # (n_cells,) accumulated land runoff mass
+    # The accumulation buffer stays in the 2-D (lat, lon) layout so the
+    # per-step `buffer += R·area·dt` is shard-local under SPMD; the flatten
+    # to the level-ordered vector (the full-field all-gather) happens only
+    # inside the event's cond branch. (A flat replicated buffer made GSPMD
+    # all-gather R.ravel() EVERY step — caught by
+    # tests/test_sharding_collectives.py::test_routing_event_owns_all_full_field_gathers.)
+    buffer_kg: jax.Array        # (n_lat, n_lon) accumulated land runoff mass
     t_accum: jax.Array          # scalar seconds since last event
     flow_accum_kgps: jax.Array  # (n_cells,) last-event throughput
     ocean_inflow_kgps: jax.Array  # scalar
@@ -167,6 +174,7 @@ def build_routing_static(net: dict, grid: Grid, dtype=jnp.float32) -> RoutingSta
         n_levels=n_levels,
         n_lakes=max(n_lakes, 0),
         level_starts=starts,
+        grid_shape=tuple(net["land_mask"].shape),
         land_flat=jnp.asarray(land),
         level=jnp.asarray(level),
         eff_down=jnp.asarray(eff.astype(np.int32)),
@@ -188,7 +196,7 @@ def init_routing_state(static: RoutingStatic, dtype=jnp.float32) -> RoutingState
     n = static.land_flat.shape[0]
     nl = max(static.n_lakes, 1)
     return RoutingState(
-        buffer_kg=jnp.zeros((n,), dtype),
+        buffer_kg=jnp.zeros(static.grid_shape, dtype),
         t_accum=jnp.asarray(0.0, dtype),
         flow_accum_kgps=jnp.zeros((n,), dtype),
         ocean_inflow_kgps=jnp.asarray(0.0, dtype),
@@ -252,15 +260,20 @@ def routing_step(rs: RoutingStatic, state: RoutingState, cfg: HydrologyConfig,
     """Accumulate runoff mass; when Σdt ≥ dt_hydro, fire a routing event
     (routing.py:211-335). Event firing is a lax.cond on the traced clock."""
     dt_hydro = cfg.dt_hydro_hours * 3600.0
-    mass_incr = jnp.where(rs.land_flat,
-                          R_land_flux.ravel() * rs.cell_area_flat * dt, 0.0)
+    shape = rs.grid_shape
+    # 2-D shard-local accumulation (see RoutingState.buffer_kg)
+    mass_incr = jnp.where(rs.land_flat.reshape(shape),
+                          R_land_flux * rs.cell_area_flat.reshape(shape) * dt,
+                          0.0)
     buffer_kg = state.buffer_kg + mass_incr
     t_accum = state.t_accum + dt
 
     def fire(_):
         from .ops.reductions import sum_compensated
         event_dt = t_accum
-        acc = buffer_kg
+        # the only full-field flatten (→ all-gather under SPMD): inside the
+        # 6-hourly event, not on the per-step path
+        acc = buffer_kg.ravel()
         mi_h, mi_l = sum_compensated(jnp.where(rs.land_flat, acc, 0.0))
         mass_input = mi_h + mi_l
         lake_vol = state.lake_volume_kg

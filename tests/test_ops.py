@@ -248,3 +248,47 @@ def test_area_mean_compensated(rng, small_grid):
     oracle = float((xf.astype(np.float64) * wf).sum() / wf.astype(np.float64).sum())
     got = float(area_mean_compensated(jnp.asarray(xf), jnp.asarray(wf)))
     assert abs(got - oracle) / oracle < 1e-6  # bounded by per-product rounding
+
+
+def test_pallas_windowed_advect_matches_jnp():
+    """The VMEM window megakernel (ops/pallas_advect.py) must reproduce the
+    jnp masked-roll accumulation exactly (same weights, same order) —
+    verified in interpret mode so the check runs on CPU."""
+    import math
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from qingdai_tpu.ops import advect as A
+    from qingdai_tpu.ops.pallas_advect import advect_windowed_pallas
+
+    rng = np.random.default_rng(7)
+    H, W, M = 19, 36, 3
+    fields = jnp.asarray(rng.normal(280, 20, (M, H, W)), jnp.float32)
+    u = jnp.asarray(rng.normal(0, 60, (H, W)), jnp.float32)
+    v = jnp.asarray(rng.normal(0, 30, (H, W)), jnp.float32)
+    a, dlat, dlon, dt = 6.371e6, math.pi / (H - 1), 2 * math.pi / W, 300.0
+    cos = jnp.maximum(jnp.cos(jnp.linspace(-math.pi / 2, math.pi / 2, H)),
+                      1e-6)[:, None] * jnp.ones((H, W))
+    dep_j, dep_i = A.departure_indices((H, W), u, v, dt, a, dlat, dlon,
+                                       cos, jnp.float32)
+    ms = list(range(-2, 3))
+    ks = list(range(-3, 4))
+    # jnp reference accumulation (same math as _advect_windowed's loop)
+    jj = jax.lax.broadcasted_iota(jnp.int32, (H, W), 0)
+    ii = jax.lax.broadcasted_iota(jnp.int32, (H, W), 1)
+    j0, i0 = jnp.floor(dep_j), jnp.floor(dep_i)
+    fj = (dep_j - j0).astype(jnp.float32)
+    fi = (dep_i - i0).astype(jnp.float32)
+    oj = j0.astype(jnp.int32) - jj
+    oi = i0.astype(jnp.int32) - ii
+    ref = jnp.zeros_like(fields)
+    for m in ms:
+        Wm = jnp.where(oj == m, 1.0 - fj, 0.0) + jnp.where(oj == m - 1, fj, 0.0)
+        for k in ks:
+            Wk = jnp.where(oi == k, 1.0 - fi, 0.0) + jnp.where(oi == k - 1, fi, 0.0)
+            ref = ref + (Wm * Wk)[None] * jnp.roll(fields, (-m, -k), axis=(1, 2))
+    got = advect_windowed_pallas(fields, dep_j, dep_i, ms, ks, interpret=True)
+    # interpret mode contracts the FMA chain slightly differently — one-ulp
+    # (~1e-7 rel) differences are expected, anything structural is O(1)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=1e-5, atol=1e-4)

@@ -42,3 +42,53 @@ def test_halos_lower_to_collective_permute(tiny_sharded_hlo):
     hlo, _ = tiny_sharded_hlo
     n_cp = len(re.findall(r"\bcollective-permute(?:-start)?\(", hlo))
     assert n_cp > 50, f"expected roll halos as collective-permutes, got {n_cp}"
+
+
+@pytest.fixture
+def routing_on_hlo(tmp_path, monkeypatch):
+    """Sharded 1-step chunk with routing ENABLED (the production config)."""
+    monkeypatch.chdir(tmp_path)
+    if len(jax.devices()) < 8:
+        pytest.skip("needs the 8-device virtual CPU mesh (conftest)")
+    import sys
+    sys.path.insert(0, "/root/repo")
+    from __graft_entry__ import _build_world
+    from qingdai_tpu import model as M
+    from qingdai_tpu.parallel import mesh as pmesh
+
+    n_lat, n_lon = 19, 48
+    mdl, state = _build_world(n_lat, n_lon)
+    m = pmesh.make_mesh(8)
+    mdl_s = pmesh.shard_model_statics(mdl, m)
+    state_s = pmesh.shard_state(state, m, n_lon)
+    chunk = jax.jit(M.make_chunk_fn(mdl_s, 1))
+    return chunk.lower(state_s).compile().as_text(), (n_lat, n_lon)
+
+
+def test_routing_event_owns_all_full_field_gathers(routing_on_hlo):
+    """The production property, asserted with routing ON (not by disabling
+    the subsystem): every full-field all-gather in the sharded step lives
+    inside the routing event's lax.cond branch — rivers form a global DAG
+    across shards and the event fires once per 6 simulated hours, so these
+    are the only full-field collectives and they are off the per-step path.
+
+    Cond membership is read from XLA's own provenance: every such
+    all-gather's op_name metadata must carry a "/cond/" component. (This
+    caught a real regression: a flat replicated routing buffer made GSPMD
+    all-gather R.ravel() on EVERY step with op_name ".../closed_call/reshape"
+    — no cond — fixed by keeping the accumulation buffer 2-D/sharded and
+    flattening only inside the event, routing.py RoutingState.)"""
+    hlo, (H, W) = routing_on_hlo
+    full = re.compile(rf"\[(?:\d+,)*{H},{W}\]\S*\s+all-gather")
+    gathers = [ln for ln in hlo.splitlines() if full.search(ln)]
+    assert gathers, "expected the routing event's full-field gathers"
+    # few: the event's field flatten + scatter-back staging
+    assert len(gathers) <= 4, f"{len(gathers)} full-field all-gathers"
+    outside = []
+    for ln in gathers:
+        m = re.search(r'op_name="([^"]*)"', ln)
+        if not (m and "/cond/" in m.group(1)):
+            outside.append((m.group(1) if m else ln.strip())[:160])
+    assert not outside, (
+        f"full-field all-gathers on the per-step path (no /cond/ in "
+        f"provenance): {outside}")
