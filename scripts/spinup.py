@@ -101,10 +101,22 @@ def run_phase(name, years, env, chunk_days=10, verbose_every=50):
         return t_yr, row
 
     t_wall0 = time.time()
+    next_autosave = time.time() + 900.0
     for c in range(n_chunks):
         diags = world.step_chunk(chunk)
         t_yr = (world.t_seconds - world.t0_seconds) / T_PLANET
         futures.append(pool.submit(reduce_chunk, diags, t_yr))
+        # crash insurance on multi-hour phases: async autosave every ~15 wall
+        # minutes (device_get + NetCDF writes run on the world's IO worker,
+        # off the scan loop; a killed run resumes from data/ instead of
+        # losing the whole phase)
+        if time.time() >= next_autosave:
+            try:
+                world.autosave_async()
+            except Exception as e:
+                print(f"[Spinup:{name}] autosave dispatch failed: {e}",
+                      flush=True)
+            next_autosave = time.time() + 900.0
         if (c + 1) % verbose_every == 0 or c == n_chunks - 1:
             jax.block_until_ready(diags["Ts_mean"])
             el = time.time() - t_wall0
