@@ -102,6 +102,12 @@ def hyperdiffuse_multi(F: jax.Array, k4_stack, dt: float, n_substeps: int,
     cos = coslat[None]
     out = F
     ndev = _spmd_ready(mesh, axis_name, F.shape[-1], 2)
+    if ndev is None:
+        # single-chip TPU: the whole two-Laplacian chain VMEM-resident
+        from .pallas_stencil import hyperdiffuse_pallas, use_pallas_hyper4
+        if use_pallas_hyper4(F.shape, F.dtype):
+            return hyperdiffuse_pallas(F, k4_stack, dt, n, dlat, dlon,
+                                       coslat, a)
     if ndev is not None:
         from jax import shard_map
         from jax.sharding import PartitionSpec as P

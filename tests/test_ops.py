@@ -292,3 +292,28 @@ def test_pallas_windowed_advect_matches_jnp():
     # (~1e-7 rel) differences are expected, anything structural is O(1)
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
                                rtol=1e-5, atol=1e-4)
+
+
+def test_pallas_hyper4_matches_jnp():
+    """The VMEM-fused nabla4 chain (ops/pallas_stencil.py) must match
+    hyperdiffuse_multi's jnp form (interpret mode, CPU)."""
+    import math
+    import jax.numpy as jnp
+    import numpy as np
+    from qingdai_tpu.ops.stencil import hyperdiffuse_multi
+    from qingdai_tpu.ops.pallas_stencil import hyperdiffuse_pallas
+
+    rng = np.random.default_rng(3)
+    M, H, W = 4, 19, 36
+    F = jnp.asarray(rng.normal(0, 50, (M, H, W)), jnp.float32)
+    cos = jnp.maximum(jnp.cos(jnp.linspace(-math.pi / 2, math.pi / 2, H)),
+                      0.2)[:, None] * jnp.ones((H, W), jnp.float32)
+    cos = cos.astype(jnp.float32)
+    k4 = jnp.asarray(rng.uniform(1e13, 5e13, (M, 1, 1)), jnp.float32)
+    dlat, dlon, a, dt = math.pi / (H - 1), 2 * math.pi / W, 6.371e6, 300.0
+    for nsub in (1, 2):
+        ref = hyperdiffuse_multi(F, k4, dt, nsub, dlat, dlon, cos, a)
+        got = hyperdiffuse_pallas(F, k4, dt, nsub, dlat, dlon, cos, a,
+                                  interpret=True)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   rtol=1e-5, atol=1e-4)
