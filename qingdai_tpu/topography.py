@@ -210,6 +210,13 @@ def load_topography_from_netcdf(path, lat_tgt, lon_tgt, regrid="auto"):
         lat_inc = np.all(np.diff(src_lat) > 0)
         lon_idx = np.argsort(src_lon)
         src_lon = src_lon[lon_idx]
+        # grids in the reference convention store the seam twice
+        # (lon = linspace(0, 360, n) has both 0 and 360); the mod-360 fold
+        # above makes those equal — drop the duplicate column or the
+        # interpolator rejects the non-strictly-ascending axis
+        keep = np.concatenate([[True], np.diff(src_lon) > 1e-9])
+        lon_idx = lon_idx[keep]
+        src_lon = src_lon[keep]
 
         def read(name):
             arr = np.asarray(ds[name][:])

@@ -79,15 +79,21 @@ class QingdaiWorld:
                 self._log(f"[Topo] Loaded: {cfg.run.topo_nc}")
             except (OSError, ValueError, KeyError) as e:
                 self._log(f"[Topo] Failed to load '{cfg.run.topo_nc}': {e} — procedural fallback.")
-                land_mask, elevation = topo.create_land_sea_mask(
+                # reference driver parity (run_simulation.py:1205-1213): the
+                # procedural fallback keeps only the MASK — `elevation` stays
+                # None (no lapse/orography/snow-peak physics) and the base
+                # properties are built without elevation or latitude terms.
+                # Full orography requires a topography NetCDF (QD_TOPO_NC),
+                # exactly as in the reference.
+                land_mask, _elev_discarded = topo.create_land_sea_mask(
                     lat_mesh, lon_mesh, cfg.run.target_land_frac, cfg.run.seed)
-                base_albedo, friction = topo.generate_base_properties(
-                    land_mask, elevation, lat_mesh)
+                elevation = None
+                base_albedo, friction = topo.generate_base_properties(land_mask)
         else:
-            land_mask, elevation = topo.create_land_sea_mask(
+            land_mask, _elev_discarded = topo.create_land_sea_mask(
                 lat_mesh, lon_mesh, cfg.run.target_land_frac, cfg.run.seed)
-            base_albedo, friction = topo.generate_base_properties(
-                land_mask, elevation, lat_mesh)
+            elevation = None
+            base_albedo, friction = topo.generate_base_properties(land_mask)
             area_w = np.maximum(np.cos(np.deg2rad(lat_mesh)), 0)
             frac = float((area_w * (land_mask == 1)).sum() / (area_w.sum() + 1e-15))
             self._log(f"[Topo] Procedural topography. Land fraction: {frac:.3f}")

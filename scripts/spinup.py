@@ -56,6 +56,43 @@ AUD_INTERNAL = ("aud_hum_resid", "aud_sfc_resid", "aud_ts_blend",
                 "aud_hdamp", "aud_qdamp", "aud_overwrite")
 
 
+def _ensure_topography(nlat, nlon, path=os.path.join("data", "topography.nc")):
+    """Return a topography NetCDF path for the SOP grid.
+
+    Prefers an existing grid-matching ``data/topography.nc`` — the engine
+    exports the topography it actually ran with there, so a resume chain's
+    later segments see the identical field — else generates the seeded
+    procedural topography once (the reference SOP generates topography
+    offline and points QD_TOPO_NC at it; docs/04 §9)."""
+    import numpy as np
+    from qingdai_tpu import topography as topo
+    from qingdai_tpu.io.ncdataset import Dataset
+
+    if os.path.exists(path):
+        try:
+            with Dataset(path, "r") as ds:
+                ok = (len(ds["lat"][:]) == nlat and len(ds["lon"][:]) == nlon
+                      and "elevation" in ds.variables)
+            if ok:
+                return path
+        except (OSError, KeyError):
+            pass
+
+    lat = np.linspace(-90, 90, nlat)
+    lon = np.linspace(0, 360, nlon)
+    lon_mesh, lat_mesh = np.meshgrid(lon, lat)
+    seed = int(os.environ.get("QD_SEED", "42"))
+    land_frac = float(os.environ.get("QD_TARGET_LAND_FRAC", "0.29"))
+    elev = topo.generate_elevation_map(lat_mesh, lon_mesh, seed=seed)
+    mask, sea_level = topo.create_land_sea_mask_from_elevation(
+        elev, lat_mesh, target_land_frac=land_frac)
+    albedo, friction = topo.generate_base_properties(mask, elev, lat_mesh)
+    topo.export_topography_to_netcdf(lat, lon, elev, mask, albedo, friction,
+                                     sea_level, path,
+                                     target_land_frac=land_frac)
+    return path
+
+
 def run_phase(name, years, env, chunk_days=10, verbose_every=50):
     """Run one phase in a fresh world under `env` overrides; returns the
     per-chunk diagnostic time series (dict of np arrays + t_years axis)."""
@@ -179,6 +216,29 @@ def acceptance_metrics(series, eval_years, diff_factor=None, dt=None, L_V=None):
     slope_per_year = float(np.polyfit(te, w["Ts_mean"], 1)[0])
     dTs_per_decade = slope_per_year * 10.0
 
+    def _trend_with_se(y):
+        """OLS slope (per decade) on ANNUAL means + its standard error.
+
+        The per-chunk series carries the full seasonal cycle and ~1 W/m²
+        interannual TOA variability; the slope of a short window is then
+        dominated by noise (SE ≈ 0.6 W/m²/decade for a 15-yr window at
+        361x720). Reporting the SE makes the trend criteria interpretable:
+        an eval window is long enough when SE < the criterion threshold."""
+        yr = np.floor(te).astype(int)
+        years = np.unique(yr)
+        if years.size < 4:
+            return float("nan"), float("nan")
+        am = np.asarray([np.mean(y[yr == yy]) for yy in years], float)
+        tc = years + 0.5
+        A = np.vstack([tc - tc.mean(), np.ones_like(tc)]).T
+        coef, res, *_ = np.linalg.lstsq(A, am, rcond=None)
+        slope = float(coef[0])
+        dof = max(len(am) - 2, 1)
+        s2 = float(res[0]) / dof if res.size else float(
+            np.sum((am - A @ coef) ** 2)) / dof
+        se = float(np.sqrt(s2 / np.sum((tc - tc.mean()) ** 2)))
+        return slope * 10.0, se * 10.0
+
     e_mean = float(np.mean(w["E_mean"]))
     p_mean = float(np.mean(w["P_mean"]))
     r_mean = float(np.mean(w["R_mean"]))
@@ -221,6 +281,8 @@ def acceptance_metrics(series, eval_years, diff_factor=None, dt=None, L_V=None):
     aud_means = {k: _aud(k) for k in
                  ("aud_part", "aud_uncoupled") + AUD_INTERNAL}
     toa_mean = float(np.mean(w["TOA_net"]))
+    dTOA_ann, dTOA_ann_se = _trend_with_se(w["TOA_net"])
+    dTs_ann, dTs_ann_se = _trend_with_se(w["Ts_mean"])
     internal_sum = sum(aud_means[k] for k in AUD_INTERNAL)
     toa_attributed = (aud_means["aud_part"] + aud_means["aud_uncoupled"]
                       - internal_sum)
@@ -238,6 +300,11 @@ def acceptance_metrics(series, eval_years, diff_factor=None, dt=None, L_V=None):
             float(np.mean(w["TOA_net"])) + L_V * q_sink,
         "dTOA_dt_Wm2_per_decade":
             float(np.polyfit(te, w["TOA_net"], 1)[0]) * 10.0,
+        # annual-mean trends with OLS standard errors (see _trend_with_se)
+        "dTOA_dt_annual_Wm2_per_decade": dTOA_ann,
+        "dTOA_dt_annual_se": dTOA_ann_se,
+        "dTs_dt_annual_K_per_decade": dTs_ann,
+        "dTs_dt_annual_se": dTs_ann_se,
         "SFC_net_mean_Wm2": float(np.mean(w["SFC_net"])),
         "ATM_net_mean_Wm2": float(np.mean(w["ATM_net"])),
         "Ts_mean_K": float(np.mean(w["Ts_mean"])),
@@ -303,6 +370,15 @@ def main():
                     help="phase 2 only, warm-started from this restart file "
                          "(e.g. a scripts.regrid_restart output); implies "
                          "--skip-phase1, ecology/plankton cold-start")
+    ap.add_argument("--prepend-series", default=None,
+                    help="npz series of the immediately-preceding phase-2 "
+                         "segment (same grid/config; this run must resume "
+                         "bit-exactly from that segment's autosave). The "
+                         "series are concatenated with a continuous time "
+                         "axis before the trailing-window evaluation, so "
+                         "trend criteria can use the full equilibrated span "
+                         "instead of one segment's (the trend SE scales as "
+                         "N^-3/2 in window years).")
     ap.add_argument("--cpu", action="store_true",
                     help="force the CPU backend (smoke tests; the env-var "
                          "route is ignored by this machine's sitecustomize)")
@@ -313,7 +389,18 @@ def main():
         jax.config.update("jax_platforms", "cpu")
 
     os.makedirs("data", exist_ok=True)
+    # The SOP runs WITH orography (docs/04 §9 generates topography first and
+    # points QD_TOPO_NC at it); without a file the engine — like the
+    # reference driver (run_simulation.py:1199-1213) — would run
+    # elevation-free. Prefer an existing grid-matching data/topography.nc
+    # (continuity with earlier segments of a resume chain), else generate
+    # the seeded procedural topography once.
+    topo_file = os.environ.get("QD_TOPO_NC")
+    if not (topo_file and os.path.exists(topo_file)):
+        topo_file = _ensure_topography(args.nlat, args.nlon)
+    print(f"[Spinup] topography: {topo_file}", flush=True)
     base_env = {
+        "QD_TOPO_NC": topo_file,
         "QD_N_LAT": args.nlat, "QD_N_LON": args.nlon,
         # the documented SOP bundle (docs/11.4): explicit energy path drives
         # T_s so the TOA acceptance criterion is meaningful, banded initial
@@ -363,7 +450,38 @@ def main():
                        "QD_LOAD_PLANKTON": 0})
     s2 = run_phase("phase2", args.phase2_years, p2_env,
                    chunk_days=args.chunk_days)
-    m2 = acceptance_metrics(s2, min(args.eval_years, args.phase2_years / 2))
+    eval_cap = args.phase2_years / 2
+    if args.prepend_series:
+        prev = dict(np.load(args.prepend_series))
+        pc = prev.get("_consts")
+        if pc is not None and not np.allclose(pc, s2["_consts"]):
+            raise SystemExit(f"--prepend-series consts {pc} != this run's "
+                             f"{s2['_consts']} — different config, refusing")
+        prev_t = prev["t_years"]
+        offset = float(prev_t[-1])
+        merged = {}
+        for k in s2:
+            if k == "t_years":
+                merged[k] = np.concatenate([prev_t, offset + s2[k]])
+            elif k == "_consts":
+                merged[k] = s2[k]
+            else:
+                pk = prev.get(k)
+                if pk is None or len(pk) != len(prev_t):
+                    pk = np.full_like(prev_t, np.nan)
+                merged[k] = np.concatenate([pk, s2[k]])
+        s2 = merged
+        total_span = float(s2["t_years"][-1])
+        # always leave the (restart-transient) head out of the eval window
+        eval_cap = total_span - max(5.0, 0.1 * total_span)
+        result["phase2"]["prepended_series"] = {
+            "file": args.prepend_series, "years": offset,
+            "note": "continuous run: this segment resumed from the prepended "
+                    "segment's full-pytree autosave sidecar (bit-exact state; "
+                    "static topography re-read from QD_TOPO_NC, f32)",
+        }
+        result["phase2"]["years_total_evaluated_span"] = total_span
+    m2 = acceptance_metrics(s2, min(args.eval_years, eval_cap))
     result["phase2"]["metrics"] = m2
     print(f"[Spinup:phase2] metrics: {json.dumps(m2, indent=2)}")
 
@@ -385,8 +503,17 @@ def main():
         # sum — nothing unattributed beyond 2 W/m².
         "TOA_attribution_residual_lt_2":
             abs(m2["TOA_attribution_residual_Wm2"]) < 2.0,
-        "dTOA_dt_lt_0.1_Wm2_decade": abs(m2["dTOA_dt_Wm2_per_decade"]) < 0.1,
-        "dTs_dt_abs_lt_0.02_K_decade": abs(m2["dTs_dt_K_per_decade"]) < 0.02,
+        # trend criteria evaluate the annual-mean OLS slope when the window
+        # holds ≥4 whole years (the per-chunk series carries the full
+        # seasonal cycle; see _trend_with_se) — else the per-chunk slope
+        "dTOA_dt_lt_0.1_Wm2_decade":
+            abs(m2["dTOA_dt_annual_Wm2_per_decade"]
+                if np.isfinite(m2["dTOA_dt_annual_Wm2_per_decade"])
+                else m2["dTOA_dt_Wm2_per_decade"]) < 0.1,
+        "dTs_dt_abs_lt_0.02_K_decade":
+            abs(m2["dTs_dt_annual_K_per_decade"]
+                if np.isfinite(m2["dTs_dt_annual_K_per_decade"])
+                else m2["dTs_dt_K_per_decade"]) < 0.02,
         "water_closure_net_of_qdamping_lt_5pct":
             abs(m2["water_residual_minus_qdamping_rel"]) < 0.05,
         "LH_consistency_net_of_qdamping_lt_5pct":

@@ -83,7 +83,28 @@ def test_restart_layout_is_netcdf4(autosave_set):
 
 
 def test_topography_layout_is_netcdf4(autosave_set):
+    # `elevation` is intentionally absent: a procedural (no QD_TOPO_NC) run
+    # keeps elevation=None and the writer omits the variable, exactly like
+    # the reference (run_simulation.py:126-159, elevation optional)
     _check_file(os.path.join("data", "topography.nc"),
+                ["land_mask", "base_albedo", "friction"])
+
+
+def test_topography_layout_with_elevation_is_netcdf4(tmp_path, monkeypatch):
+    """The offline-generator export (the SOP path, WITH elevation) also has
+    the netCDF-4 dimension-scale layout."""
+    import numpy as np
+    from qingdai_tpu import topography as topo
+    monkeypatch.chdir(tmp_path)
+    lat = np.linspace(-90, 90, 13)
+    lon = np.linspace(0, 360, 24)
+    lon_mesh, lat_mesh = np.meshgrid(lon, lat)
+    elev = topo.generate_elevation_map(lat_mesh, lon_mesh, seed=1)
+    mask, sea = topo.create_land_sea_mask_from_elevation(elev, lat_mesh)
+    alb, fric = topo.generate_base_properties(mask, elev, lat_mesh)
+    topo.export_topography_to_netcdf(lat, lon, elev, mask, alb, fric, sea,
+                                     "topo_gen.nc")
+    _check_file("topo_gen.nc",
                 ["elevation", "land_mask", "base_albedo", "friction"])
 
 
