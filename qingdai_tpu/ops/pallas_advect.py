@@ -25,6 +25,18 @@ import jax
 import jax.numpy as jnp
 
 
+def _roll2(F, m, k):
+    """roll(F, (−m, −k), axis=(1, 2)) with zero shifts elided — Mosaic's
+    roll decomposition emits a zero-width slice for a 0 shift ("vector types
+    must have positive constant sizes but got 1, 181, 0")."""
+    out = F
+    if m:
+        out = jnp.roll(out, -m, axis=1)
+    if k:
+        out = jnp.roll(out, -k, axis=2)
+    return out
+
+
 def _window_kernel(ms, ks, fields_ref, dep_j_ref, dep_i_ref, out_ref):
     F = fields_ref[:]                   # [M, H, W] resident in VMEM
     dep_j = dep_j_ref[:]
@@ -46,7 +58,7 @@ def _window_kernel(ms, ks, fields_ref, dep_j_ref, dep_i_ref, out_ref):
         for k in ks:
             Wk = (jnp.where(oi == k, one - fi, 0.0)
                   + jnp.where(oi == k - 1, fi, 0.0))
-            out = out + (Wm * Wk)[None] * jnp.roll(F, (-m, -k), axis=(1, 2))
+            out = out + (Wm * Wk)[None] * _roll2(F, m, k)
     out_ref[:] = out
 
 
@@ -56,11 +68,18 @@ def advect_windowed_pallas(fields, dep_j, dep_i, ms, ks, interpret=False):
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
     kern = functools.partial(_window_kernel, tuple(ms), tuple(ks))
+    # Mosaic's default 16 MiB scoped-VMEM budget is too small for the
+    # unrolled window accumulation's rotate temporaries at 181x360x11
+    # (~22 MiB measured); the stack itself is ~3 MiB, so 64 MiB leaves
+    # ample headroom on v5e (128 MiB VMEM/core) while still fitting
+    # alongside XLA's own buffers.
+    params = pltpu.CompilerParams(vmem_limit_bytes=64 * 1024 * 1024)
     return pl.pallas_call(
         kern,
         out_shape=jax.ShapeDtypeStruct(fields.shape, fields.dtype),
         in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 3,
         out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+        compiler_params=params,
         interpret=interpret,
     )(fields, dep_j, dep_i)
 
