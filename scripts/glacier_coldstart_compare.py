@@ -54,7 +54,7 @@ def _write_nc4_shim(shimdir):
         f.write("from qingdai_tpu.io.ncdataset import Dataset  # noqa: F401\n")
 
 
-def run_reference(workdir, days, nlat, nlon):
+def run_reference(workdir, days, nlat, nlon, topo_nc=None):
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     shim = "/tmp/nc4shim"
     _write_nc4_shim(shim)
@@ -69,6 +69,10 @@ def run_reference(workdir, days, nlat, nlon):
         "PYTHONPATH": ":".join([REF, shim, repo,
                                 env.get("PYTHONPATH", "")]).rstrip(":"),
     })
+    if topo_nc:
+        env["QD_TOPO_NC"] = topo_nc
+    else:
+        env.pop("QD_TOPO_NC", None)
     os.makedirs(workdir, exist_ok=True)
     r = subprocess.run([sys.executable, "-m", "scripts.run_simulation"],
                        cwd=workdir, env=env, capture_output=True, text=True,
@@ -80,7 +84,7 @@ def run_reference(workdir, days, nlat, nlon):
     return rst
 
 
-def run_ours(workdir, days, nlat, nlon):
+def run_ours(workdir, days, nlat, nlon, topo_nc=None):
     env = dict(os.environ)
     env.update({
         "QD_SIM_DAYS": str(days), "QD_N_LAT": str(nlat),
@@ -89,6 +93,10 @@ def run_ours(workdir, days, nlat, nlon):
         "QD_AUTOSAVE_LOAD": "0", "QD_FORCE_CPU": "1",
     })
     env.pop("QD_RESTART_IN", None)
+    if topo_nc:
+        env["QD_TOPO_NC"] = topo_nc
+    else:
+        env.pop("QD_TOPO_NC", None)
     os.makedirs(workdir, exist_ok=True)
     code = ("import jax; jax.config.update('jax_platforms','cpu');"
             "from qingdai_tpu.world import QingdaiWorld;"
@@ -106,6 +114,24 @@ def run_ours(workdir, days, nlat, nlon):
     return rst
 
 
+def _compare(mode, days, nlat, nlon, topo_nc=None):
+    ref_rst = run_reference(f"/tmp/glacier_ref_{mode}", days, nlat, nlon,
+                            topo_nc=topo_nc)
+    ref_mean, ref_max = land_mean_swe(ref_rst)
+    our_rst = run_ours(f"/tmp/glacier_ours_{mode}", days, nlat, nlon,
+                       topo_nc=topo_nc)
+    our_mean, our_max = land_mean_swe(our_rst)
+    return {
+        "reference": {"S_snow_land_mean_kgm2": ref_mean,
+                      "S_snow_max_kgm2": ref_max,
+                      "land_mean_rate_kgm2_per_day": ref_mean / days},
+        "qingdai_tpu": {"S_snow_land_mean_kgm2": our_mean,
+                        "S_snow_max_kgm2": our_max,
+                        "land_mean_rate_kgm2_per_day": our_mean / days},
+        "ratio_ours_over_ref": (our_mean / ref_mean) if ref_mean > 0 else None,
+    }
+
+
 def main():
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("--days", type=int, default=3)
@@ -114,21 +140,32 @@ def main():
     ap.add_argument("--out", default="GLACIER_COLDSTART.json")
     args = ap.parse_args()
 
-    ref_rst = run_reference("/tmp/glacier_ref", args.days, args.nlat, args.nlon)
-    ref_mean, ref_max = land_mean_swe(ref_rst)
-    our_rst = run_ours("/tmp/glacier_ours", args.days, args.nlat, args.nlon)
-    our_mean, our_max = land_mean_swe(our_rst)
+    result = {"days": args.days, "grid": [args.nlat, args.nlon]}
 
-    result = {
-        "days": args.days, "grid": [args.nlat, args.nlon],
-        "reference": {"S_snow_land_mean_kgm2": ref_mean,
-                      "S_snow_max_kgm2": ref_max,
-                      "land_mean_rate_kgm2_per_day": ref_mean / args.days},
-        "qingdai_tpu": {"S_snow_land_mean_kgm2": our_mean,
-                        "S_snow_max_kgm2": our_max,
-                        "land_mean_rate_kgm2_per_day": our_mean / args.days},
-        "ratio_ours_over_ref": (our_mean / ref_mean) if ref_mean > 0 else None,
-    }
+    # Mode 1 — no topography file: the reference driver keeps elevation=None
+    # in this branch (run_simulation.py:1199-1213), so no lapse cooling and
+    # no snow peaks exist; both engines should deposit ~nothing.
+    result["procedural_fallback_no_elevation"] = _compare(
+        "fb", args.days, args.nlat, args.nlon)
+
+    # Mode 2 — the documented SOP: an offline-generated topography NetCDF
+    # shared by BOTH engines. The generator scales elevation by sigma=4500 m
+    # (reference topography.py:241-244), so 3-4 sigma peaks exceed 10 km,
+    # sit below freezing after the 6.5 K/km lapse, and accumulate SWE; once
+    # C_snow/SWE crosses the glacier threshold, rain deposits too
+    # (run_simulation.py:1996-2002). This is the origin of the spin-up
+    # records' glacier store — measured here on both engines.
+    topo = "/tmp/glacier_topo_shared.nc"
+    if not os.path.exists(topo):
+        subprocess.run([sys.executable, "-m", "scripts.generate_topography",
+                        "--nlat", str(args.nlat), "--nlon", str(args.nlon),
+                        "--out", topo],
+                       cwd=os.path.dirname(os.path.dirname(
+                           os.path.abspath(__file__))),
+                       check=True, timeout=600)
+    result["shared_topography_nc"] = _compare(
+        "topo", args.days, args.nlat, args.nlon, topo_nc=topo)
+
     with open(args.out, "w") as f:
         json.dump(result, f, indent=2)
     print(json.dumps(result, indent=2))
