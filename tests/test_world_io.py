@@ -106,6 +106,21 @@ def test_sharded_chunk_matches_unsharded(tiny_env):
                                float(ref_diags["Ts_mean"][-1]), rtol=1e-5)
 
 
+def test_sharded_day_and_routing_event_crossing():
+    """The driver's multichip artifact case, folded into the suite: a 20-step
+    sharded scan at dt=7200 s crossing 2 daily boundaries (ecology daily +
+    mutation, individual-pool daily, phyto daily) and 6 routing events —
+    the only full-field collective path — compared leaf-by-leaf against the
+    unsharded run in f64 (see __graft_entry__.dryrun_multichip docstring).
+    The conftest already provides the 8-device CPU mesh + x64 it needs."""
+    import sys
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    if root not in sys.path:
+        sys.path.insert(0, root)
+    from __graft_entry__ import dryrun_multichip
+    dryrun_multichip(8)
+
+
 def test_orbax_checkpoint_roundtrip(tiny_env):
     """Full-pytree fast-path checkpoint restores bit-identically."""
     from qingdai_tpu.world import QingdaiWorld
