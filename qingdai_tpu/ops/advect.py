@@ -139,6 +139,20 @@ def make_advect_plan(n_lat: int, dlat: float, dlon: float, dt: float, a: float,
                       b_lat=float(b_lat) * (1 + eps) + 1e-6)
 
 
+def plan_shifts(plan: AdvectPlan):
+    """(ms, ks) shift windows of a plan: offsets o ∈ [−b, b] contribute
+    corners floor(o) and floor(o)+1, so the shifts are exactly
+    [−ceil(b), floor(b)+1] (integer-symmetric fallback without bounds)."""
+    import math
+    if plan.b_lon is not None:
+        ks = list(range(-math.ceil(plan.b_lon), math.floor(plan.b_lon) + 2))
+        ms = list(range(-math.ceil(plan.b_lat), math.floor(plan.b_lat) + 2))
+    else:
+        ks = list(range(-plan.k_lon - 1, plan.k_lon + 2))
+        ms = list(range(-plan.k_lat, plan.k_lat + 2))
+    return ms, ks
+
+
 def _advect_windowed(fields, dep_j, dep_i, plan: AdvectPlan):
     """Bilinear wrap interpolation via masked rolls (exact where offsets are
     within the window; plan.exact_rows overwritten by the generic gather)."""
@@ -152,16 +166,8 @@ def _advect_windowed(fields, dep_j, dep_i, plan: AdvectPlan):
     oj = j0.astype(jnp.int32) - jj
     oi = i0.astype(jnp.int32) - ii
 
-    import math
     K, KL = plan.k_lon, plan.k_lat
-    if plan.b_lon is not None:
-        # offsets o ∈ [-b, b]; corners are floor(o) and floor(o)+1, so the
-        # contributing shifts are exactly [-ceil(b), floor(b)+1]
-        ks = list(range(-math.ceil(plan.b_lon), math.floor(plan.b_lon) + 2))
-        ms = list(range(-math.ceil(plan.b_lat), math.floor(plan.b_lat) + 2))
-    else:
-        ks = list(range(-K - 1, K + 2))
-        ms = list(range(-KL, KL + 2))
+    ms, ks = plan_shifts(plan)
     one = jnp.asarray(1.0, fields.dtype)
     out = _windowed_accumulate_spmd(fields, oj, oi, fj, fi, ms, ks, plan)
     if out is None:
