@@ -68,6 +68,8 @@ def ablate():
 
 def main():
     import jax  # noqa: F401  (backend init)
+    from qingdai_tpu.compile_cache import setup_from_env as _cache_setup
+    _cache_setup()
     from qingdai_tpu.physics.orbital import T_PLANET
 
     if "--ablate" in sys.argv:

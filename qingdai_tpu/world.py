@@ -36,6 +36,8 @@ class QingdaiWorld:
     """Owns (model, state) and runs the simulation loop."""
 
     def __init__(self, cfg: Optional[SimConfig] = None, verbose: bool = True):
+        from .compile_cache import setup_from_env as _cache_setup
+        _cache_setup(verbose=verbose)
         self.cfg = cfg or SimConfig.from_env()
         self.verbose = verbose
         self.day_seconds = const.DAY_SECONDS
