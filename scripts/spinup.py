@@ -153,6 +153,23 @@ def run_phase(name, years, env, chunk_days=10, verbose_every=50):
             except Exception as e:
                 print(f"[Spinup:{name}] autosave dispatch failed: {e}",
                       flush=True)
+            # the diag series so far rides along (data/<phase>_series_partial
+            # .npz): a killed multi-hour segment keeps its per-chunk record,
+            # not just its model state — a restarted segment can prepend it
+            try:
+                done_rows = [f.result() for f in futures if f.done()]
+                if done_rows:
+                    part = {k: np.asarray([r[1][k] for r in done_rows])
+                            for k in KEYS + OPT_KEYS}
+                    part["t_years"] = np.asarray([r[0] for r in done_rows])
+                    part["_consts"] = np.asarray(
+                        [cfg.dynamics.diff_factor, cfg.run.dt_seconds,
+                         cfg.humidity.L_v])
+                    np.savez(os.path.join(
+                        "data", f"{name}_series_partial.npz"), **part)
+            except Exception as e:
+                print(f"[Spinup:{name}] partial-series dump failed: {e}",
+                      flush=True)
             next_autosave = time.time() + 900.0
         if (c + 1) % verbose_every == 0 or c == n_chunks - 1:
             jax.block_until_ready(diags["Ts_mean"])
