@@ -50,6 +50,11 @@ def ablate():
         ("-ocean", {"QD_USE_OCEAN": "0"}),
         ("-cloud_advect", {"QD_CLOUD_ADVECT": "0"}),
         ("-filters", {"QD_DIFF_ENABLE": "0", "QD_SHAPIRO_EVERY": "0"}),
+        # VMEM megakernel attributions: each row falls back to the jnp form
+        ("-pallas_ocean", {"QD_PALLAS_OCEAN": "0"}),
+        ("-pallas_advect", {"QD_PALLAS_ADVECT": "0"}),
+        ("-pallas_hyper4", {"QD_PALLAS_HYPER4": "0"}),
+        ("-pallas_median", {"QD_PALLAS_MEDIAN": "0"}),
     ]
     out = []
     base = None
