@@ -83,11 +83,13 @@ def test_latent_heat_consistency(spinup):
     assert abs(m["LH_minus_qdamping_rel"]) < 0.05, m
 
 
-def test_2x_resolution_record_closures():
-    """The 361x720 scale record (SPINUP_361x720.json) must close every
-    budget net of the q-damping sink; the trend criteria are only asserted
-    when its phase-2 length reaches a spin-up-capable duration (the engine
-    runs ~15 sim-years/hour there, so short records are closure-only)."""
+def test_2x_resolution_record_accepted():
+    """The 361x720 scale record (SPINUP_361x720.json, 80 simulated years)
+    must pass the FULL phase-2 acceptance — budget closures net of the
+    q-damping sink, the measured TOA attribution closure (which replaced
+    the former self-chosen TOA_net+L_v·sink bound), and both equilibrium
+    trend criteria on whole-year annual means over the steady-state window
+    (docs/11.5 steady-state multi-year means)."""
     art = os.path.join(os.path.dirname(ART), "SPINUP_361x720.json")
     if not os.path.exists(art):
         pytest.skip("no 361x720 record")
@@ -96,9 +98,12 @@ def test_2x_resolution_record_closures():
     m = d["phase2"]["metrics"]
     assert abs(m["water_residual_minus_qdamping_rel"]) < 0.05, m
     assert abs(m["LH_minus_qdamping_rel"]) < 0.05, m
-    assert abs(m["TOA_net_plus_qdamping_Wm2"]) < 30, m
+    assert abs(m["TOA_attribution_residual_Wm2"]) < 2.0, m
     assert abs(m["fluid_reservoir_drift_kgm2s"]) < 0.02 * max(
         abs(m["E_mean_kgm2s"]), 1e-30), m
+    assert abs(m["dTs_dt_annual_K_per_decade"]) < 0.02, m
+    assert abs(m["dTOA_dt_annual_Wm2_per_decade"]) < 0.1, m
+    assert d["accepted"] is True, d["acceptance"]
 
 
 def test_energy_diag_levels(spinup):
