@@ -23,12 +23,26 @@ _DONE = False
 def setup_from_env(verbose: bool = False) -> str | None:
     """Enable the persistent cache once per process. Returns the cache dir
     (None when disabled). Safe to call before or after backend init — the
-    cache is consulted at compile time."""
+    cache is consulted at compile time.
+
+    TPU-only by default: XLA:CPU serializes AOT executables whose recorded
+    machine-feature list can mismatch the loading host ("could lead to
+    SIGILL" loader warnings observed with the forced-CPU test backend), and
+    the CPU paths are test-only anyway. QD_COMPILE_CACHE_DIR being set
+    explicitly overrides the backend gate (the knob tests use it)."""
     global _DONE
     if os.getenv("QD_COMPILE_CACHE", "1").lower() in ("0", "false"):
         return None
-    path = os.getenv("QD_COMPILE_CACHE_DIR") or os.path.join(
-        os.path.expanduser("~"), ".cache", "qingdai_tpu", "xla")
+    path = os.getenv("QD_COMPILE_CACHE_DIR")
+    if path is None:
+        try:
+            import jax
+            if jax.default_backend() != "tpu":
+                return None
+        except Exception:
+            return None
+        path = os.path.join(
+            os.path.expanduser("~"), ".cache", "qingdai_tpu", "xla")
     if _DONE:
         return path
     try:

@@ -823,6 +823,14 @@ class RunConfig:
     restart_out: Optional[str] = None
     autosave_enable: bool = True
     autosave_load: bool = True
+    # QD_RESTART_WARM_CACHES: on a NetCDF-only restore (no full-pytree
+    # sidecar), bootstrap the humidity caches (E_flux/P_cond) from the
+    # restored fields. The reference's restart leaves P_cond_flux_last = 0
+    # (run_simulation.py getattr default; not in the restart schema), so its
+    # first post-restart step blends the legacy convergence-precip fallback
+    # at cold-start violence (one-step deluge, ~1e4 kg/m2 of SWE on peaks).
+    # Default on — set 0 to emulate the reference's restart deluge exactly.
+    restart_warm_caches: bool = True
     nancheck: bool = False          # QD_DEBUG_NANCHECK: per-chunk finite check
     autosave_every_hours: float = 6.0
     load_ocean: bool = True
@@ -868,6 +876,7 @@ class RunConfig:
             restart_out=os.getenv("QD_RESTART_OUT") or None,
             autosave_enable=_b("QD_AUTOSAVE_ENABLE", True),
             autosave_load=_b("QD_AUTOSAVE_LOAD", True),
+            restart_warm_caches=_b("QD_RESTART_WARM_CACHES", True),
             nancheck=_b("QD_DEBUG_NANCHECK", False),
             autosave_every_hours=_f("QD_ECO_AUTOSAVE_EVERY_HOURS", 6.0),
             load_ocean=_b("QD_LOAD_OCEAN", True),

@@ -19,19 +19,36 @@ def save_checkpoint(path: str, state) -> None:
     """Orbax single-snapshot save; falls back to NPZ-of-leaves if orbax is
     unavailable OR cannot run (its async machinery needs live executors, so
     the atexit/signal autosave path lands here — observed
-    'cannot schedule new futures after interpreter shutdown')."""
+    'cannot schedule new futures after interpreter shutdown').
+
+    Both forms are written to a temp name and atomically swapped in, and the
+    superseded other-form artifact is removed on success: a failed or killed
+    save must leave either the previous coherent snapshot or clean absence —
+    never a torn write or a stale same-named lie beside newer NetCDF files
+    (the staleness guard in world._init_state then falls back safely)."""
+    import shutil
     path = os.path.abspath(path)
     host = jax.device_get(state)
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    tmp = path + ".tmp"
     try:
         import orbax.checkpoint as ocp
+        shutil.rmtree(tmp, ignore_errors=True)
         ckptr = ocp.PyTreeCheckpointer()
-        ckptr.save(path, host, force=True)
+        ckptr.save(tmp, host, force=True)
+        shutil.rmtree(path, ignore_errors=True)
+        os.replace(tmp, path)
+        try:
+            os.remove(path + ".npz")
+        except OSError:
+            pass
         return
     except Exception:
-        pass
+        shutil.rmtree(tmp, ignore_errors=True)
     leaves, treedef = jax.tree_util.tree_flatten(host)
-    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
-    np.savez(path + ".npz", *[np.asarray(l) for l in leaves])
+    np.savez(tmp + ".npz", *[np.asarray(l) for l in leaves])
+    os.replace(tmp + ".npz", path + ".npz")
+    shutil.rmtree(path, ignore_errors=True)
 
 
 def load_checkpoint(path: str, template):

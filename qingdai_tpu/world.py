@@ -65,6 +65,11 @@ class QingdaiWorld:
         if self.verbose:
             print(msg)
 
+    def _warn(self, msg):
+        """Restore decisions and IO failures print regardless of verbosity —
+        a silently-taken fallback path cost a day of forensics once."""
+        print(msg, flush=True)
+
     def _build(self):
         cfg = self.cfg
         n_lat, n_lon = cfg.run.n_lat, cfg.run.n_lon
@@ -229,6 +234,7 @@ class QingdaiWorld:
         # path — an explicit QD_RESTART_IN points at reference-schema data
         # that may predate the sidecar.
         ckpt_path = os.path.join("data", "world_ckpt")
+        self.restore_source = ("netcdf" if rst is not None else "cold")
         if used_autosave and (os.path.exists(ckpt_path)
                               or os.path.exists(ckpt_path + ".npz")):
             try:
@@ -245,17 +251,61 @@ class QingdaiWorld:
                     np.float32(max(abs(t0), 1.0))))
                 if abs(t_ckpt - t0) <= tol:
                     self.state = restored
-                    self._log("[Autosave] Full-pytree checkpoint restored "
-                              "(bit-exact resume).")
+                    # host bookkeeping follows the device clock exactly so
+                    # the two lineages can never split across resume chains
+                    self.t_seconds = t_ckpt
+                    self.restore_source = "sidecar"
+                    self._warn("[Autosave] Full-pytree checkpoint restored "
+                               "(bit-exact resume).")
                 else:
-                    self._log(
+                    self._warn(
                         f"[Autosave] full-pytree sidecar is from a different "
                         f"instant (t={t_ckpt:.0f}s vs atmosphere.nc "
                         f"t={t0:.0f}s); ignoring it and continuing from the "
                         "NetCDF fields.")
             except Exception as e:
-                self._log(f"[Autosave] full-pytree restore failed ({e}); "
-                          "continuing from the NetCDF fields.")
+                self._warn(f"[Autosave] full-pytree restore failed ({e}); "
+                           "continuing from the NetCDF fields.")
+        if rst is not None and self.restore_source == "netcdf":
+            if self.cfg.run.restart_warm_caches:
+                self._bootstrap_flux_caches()
+            else:
+                self._warn("[Restart] NetCDF-only restore with "
+                           "QD_RESTART_WARM_CACHES=0: the first step will "
+                           "blend the legacy convergence-precip fallback "
+                           "(reference restart behavior).")
+
+    def _bootstrap_flux_caches(self):
+        """NetCDF-only restores carry no E_flux/P_cond caches (the reference
+        schema drops them; its own restart reads `getattr(gcm,
+        'P_cond_flux_last', 0)` → one step of legacy convergence-precip
+        deluge, run_simulation.py:1778 + physics.py:343). Recompute both from
+        the restored prognostic fields — the same humidity block the next
+        step would run (dynamics.py humidity section) — so precipitation
+        resumes at its spun-up magnitude."""
+        import dataclasses
+        import jax.numpy as jnp
+        from .physics import humidity as hum
+        cfg = self.cfg
+        a = self.state.atmos
+        hcfg = cfg.humidity
+        land_mask = jnp.asarray(self.land_mask)
+        surf = hum.surface_evaporation_factor(land_mask, a.h_ice, hcfg)
+        E_flux = hum.evaporation_flux(a.T_s, a.q, a.u, a.v, surf, hcfg)
+        T_a = 288.0 + (cfg.dynamics.g / 1004.0) * a.h
+        M_col = max(1e-6, float(hcfg.rho_a * hcfg.h_mbl))
+        dt = cfg.run.dt_seconds
+        q_evap = a.q + (E_flux / M_col) * dt
+        P_cond, _ = hum.condensation(q_evap, T_a, dt, hcfg)
+        self.state = dataclasses.replace(
+            self.state, atmos=dataclasses.replace(
+                a, E_flux_last=E_flux.astype(a.T_s.dtype),
+                P_cond_flux_last=P_cond.astype(a.T_s.dtype),
+                LH_last=(hcfg.L_v * E_flux).astype(a.T_s.dtype),
+                LH_release_last=(hcfg.L_v * P_cond).astype(a.T_s.dtype)))
+        self._warn("[Restart] humidity flux caches bootstrapped from the "
+                   "restored fields (QD_RESTART_WARM_CACHES=1; avoids the "
+                   "reference's one-step restart deluge).")
 
     def _apply_genes(self, genes_list):
         """Rebuild per-species reflectance rows from a loaded genome table."""
@@ -337,7 +387,7 @@ class QingdaiWorld:
                               self.land_mask, t_seconds=t_seconds)
             self._log("[Autosave] Core state saved to 'data/atmosphere.nc'")
         except OSError as e:
-            self._log(f"[Autosave] NetCDF save failed: {e}")
+            self._warn(f"[Autosave] NetCDF save failed: {e}")
         # full-pytree fast path: the NetCDF set is the reference-schema
         # interchange format but drops the day/routing accumulators, humidity
         # caches and RNG key, so a mid-day resume from it is only approximate.
@@ -346,7 +396,7 @@ class QingdaiWorld:
             from .io import checkpoint as ckpt
             ckpt.save_checkpoint(os.path.join("data", "world_ckpt"), state)
         except Exception as e:
-            self._log(f"[Autosave] full-pytree checkpoint skipped: {e}")
+            self._warn(f"[Autosave] full-pytree checkpoint skipped: {e}")
         if cfg.ocean.enabled:
             ncio.save_ocean(os.path.join("data", "ocean.nc"), self.lat, self.lon,
                             state.ocean, day_value)

@@ -76,7 +76,64 @@ def test_midday_resume_without_sidecar_still_loads(tiny_env):
             os.remove(p) if os.path.isfile(p) else __import__("shutil").rmtree(p)
     wB = QingdaiWorld.create_default()
     wB.verbose = False
+    assert wB.restore_source == "netcdf"
     np.testing.assert_allclose(np.asarray(wB.state.atmos.T_s),
                                np.asarray(wA.state.atmos.T_s), atol=1e-3)
     # NetCDF-only resume loses the day accumulator (reference behavior)
     assert float(jax.device_get(wB.state.clock.accum_t_day)) == 0.0
+    # ...but NOT the humidity caches: QD_RESTART_WARM_CACHES (default)
+    # bootstraps E_flux/P_cond from the restored fields, so the first step
+    # does not re-trigger the reference's one-step convergence-precip deluge
+    # (run_simulation.py:1778 reads getattr(gcm,'P_cond_flux_last',0) — its
+    # restarts deluge; measured +1.2e4 kg/m2 SWE in one chunk at 361x720).
+    # Cell-level values may differ (the live cache is from the pre-step-10
+    # state; the bootstrap recomputes from the saved post-step state, and
+    # the discrete ice/ocean evaporation factor flips at freshly-frozen
+    # cells) — the deluge gate compares the GLOBAL mean against pq_min, so
+    # that is the asserted property.
+    Ea, Eb = (np.asarray(w.state.atmos.E_flux_last) for w in (wA, wB))
+    assert float(np.abs(Eb).max()) > 0.0
+    assert 0.5 < (np.mean(Eb) / np.mean(Ea)) < 2.0
+    # P_cond may legitimately be zero this early (no supersaturation yet —
+    # then continue-vs-restart agree at zero and the fallback fires either
+    # way, which IS reference behavior); asserted: bootstrap ≈ live in mean
+    Pa, Pb = (np.asarray(w.state.atmos.P_cond_flux_last) for w in (wA, wB))
+    if float(np.mean(Pa)) > 1e-12:
+        assert 0.2 < (np.mean(Pb) / np.mean(Pa)) < 5.0
+    else:
+        assert float(np.mean(Pb)) < 1e-7
+
+
+def test_midday_resume_warm_caches_optout(tiny_env, monkeypatch):
+    """QD_RESTART_WARM_CACHES=0 reproduces the reference's restart behavior
+    exactly: zero caches → the first step blends the legacy fallback."""
+    from qingdai_tpu.world import QingdaiWorld
+    wA = QingdaiWorld.create_default()
+    wA.verbose = False
+    wA.step_chunk(10)
+    wA.autosave()
+    for f in ("world_ckpt", "world_ckpt.npz"):
+        p = os.path.join("data", f)
+        if os.path.exists(p):
+            os.remove(p) if os.path.isfile(p) else __import__("shutil").rmtree(p)
+    monkeypatch.setenv("QD_RESTART_WARM_CACHES", "0")
+    wB = QingdaiWorld.create_default()
+    wB.verbose = False
+    assert wB.restore_source == "netcdf"
+    assert float(np.abs(np.asarray(wB.state.atmos.P_cond_flux_last)).max()) == 0.0
+
+
+def test_sidecar_resume_heals_host_clock(tiny_env):
+    """An accepted sidecar drives the host epoch bookkeeping: t_seconds
+    equals the restored device clock exactly (host/device lineages can never
+    split across a resume chain)."""
+    from qingdai_tpu.world import QingdaiWorld
+    wA = QingdaiWorld.create_default()
+    wA.verbose = False
+    wA.step_chunk(10)
+    wA.autosave()
+    wB = QingdaiWorld.create_default()
+    wB.verbose = False
+    assert wB.restore_source == "sidecar"
+    assert wB.t_seconds == float(np.asarray(jax.device_get(
+        wB.state.clock.t_seconds)))
