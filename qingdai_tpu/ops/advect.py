@@ -196,20 +196,22 @@ def _advect_windowed(fields, dep_j, dep_i, plan: AdvectPlan):
             # copying/relayouting the full [4M, H·W] corner stack per call
             n_top, n_bot = bands
             margin = KL + 1
+            band_interp = (_bilinear_band_matmul if _use_polar_matmul(plan)
+                           else _bilinear_band_gather)
             if n_top:
                 sl = slice(0, n_top)
                 band = jnp.concatenate(
                     [fields[:, H - margin:], fields[:, :n_top + margin]], axis=1)
-                out_r = _bilinear_band_gather(band, dep_j[sl] + margin,
-                                              dep_i[sl], W)
+                out_r = band_interp(band, dep_j[sl] + margin,
+                                    dep_i[sl], W)
                 out = jax.lax.dynamic_update_slice_in_dim(out, out_r, 0, axis=1)
             if n_bot:
                 sl = slice(H - n_bot, H)
                 lo0 = H - n_bot - margin
                 band = jnp.concatenate(
                     [fields[:, lo0:], fields[:, :margin]], axis=1)
-                out_r = _bilinear_band_gather(band, dep_j[sl] - lo0,
-                                              dep_i[sl], W)
+                out_r = band_interp(band, dep_j[sl] - lo0,
+                                    dep_i[sl], W)
                 out = jax.lax.dynamic_update_slice_in_dim(out, out_r, H - n_bot,
                                                           axis=1)
         else:
@@ -292,6 +294,59 @@ def _exact_bands(exact_rows, H):
     if top != list(range(len(top))) or bot != list(range(H - len(bot), H)):
         return None
     return len(top), len(bot)
+
+
+def _use_polar_matmul(plan) -> bool:
+    """Single-chip only: the one-hot contraction mixes longitude globally,
+    which under the lon mesh would lower to different collectives than the
+    audited gather path (perf-notes 'Multi-chip lowering').
+
+    Default OFF: the same-session A/B measured no gain (best-of 0.3408 vs
+    0.3346 ms/step gather) — building the [R,W,W] selection tensor costs the
+    bandwidth the gather saves (perf-notes 'Negative results')."""
+    import os
+    if os.getenv("QD_ADV_POLAR_MATMUL", "0") in ("0", "false"):
+        return False
+    try:
+        return plan.mesh is None or jax.device_count() == 1
+    except Exception:
+        return plan.mesh is None
+
+
+def _bilinear_band_matmul(band, dep_j_local, dep_i, W):
+    """One-hot-matmul form of _bilinear_band_gather.
+
+    XLA's TPU gather costs ∝ index rows (docs/perf-notes.md), and the polar
+    exact-row correction was measured as the hottest op block of the step
+    (~28 µs/step across the advection sites, more than the whole ocean
+    megakernel). Only the LON offset is unbounded at the poles (the plan's
+    velocity cap keeps |Δlat| < 1 row), so the wrap gather factors into
+      out[i] = Σ_h wlat[h,i] · (S @ band[:, h, :])[i]
+    with S the [W,W] two-banded bilinear lon-selection matrix per output
+    row — an MXU contraction (precision=HIGHEST keeps f32-grade products;
+    the sum over lon adds exact zeros) — and a masked accumulation over the
+    band's few rows for lat. Numerics match the gather to ~1 ulp.
+    """
+    M, hb, _ = band.shape
+    dtype = band.dtype
+    j0f = jnp.floor(dep_j_local)
+    i0f = jnp.floor(dep_i)
+    fj = (dep_j_local - j0f).astype(dtype)           # [R, W]
+    fi = (dep_i - i0f).astype(dtype)
+    j0 = j0f.astype(jnp.int32)
+    i0 = jnp.mod(i0f.astype(jnp.int32), W)
+    i1 = jnp.mod(i0 + 1, W)
+    cols = jnp.arange(W, dtype=jnp.int32)
+    one = jnp.asarray(1.0, dtype)
+    S = (jnp.where(i0[..., None] == cols, one - fi[..., None], 0.0)
+         + jnp.where(i1[..., None] == cols, fi[..., None], 0.0))  # [R, W, W]
+    # G[m, r, h, i] = Σ_c S[r, i, c] · band[m, h, c]
+    G = jnp.einsum("ric,mhc->mrhi", S, band,
+                   precision=jax.lax.Precision.HIGHEST)
+    hh = jnp.arange(hb, dtype=jnp.int32)[None, :, None]           # [1, hb, 1]
+    wlat = (jnp.where(j0[:, None, :] == hh, (one - fj)[:, None, :], 0.0)
+            + jnp.where((j0 + 1)[:, None, :] == hh, fj[:, None, :], 0.0))
+    return jnp.sum(G * wlat[None], axis=2)
 
 
 def _bilinear_band_gather(band, dep_j_local, dep_i, W):

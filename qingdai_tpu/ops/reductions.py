@@ -79,6 +79,11 @@ def _ff_tree_axis_last(hi: jax.Array, lo: jax.Array):
 
 
 def sum_compensated(x: jax.Array) -> jax.Array:
+    import os
+    if os.getenv("QD_FF_SUMS", "1") in ("0", "false"):
+        # A/B bound on the float-float machinery's step cost (accuracy
+        # drops to plain-tree ~1e-6 relative — perf experiments only)
+        return jnp.sum(x), jnp.zeros((), x.dtype)
     """Float-float pairwise sum of all elements; returns (hi, lo) pair.
 
     Halve-and-TwoSum tree: log2(n) unrolled levels of vector ops, each
