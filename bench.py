@@ -71,19 +71,44 @@ def ablate():
     return out
 
 
+def _watchdog(seconds=1500):
+    """The axon tunnel can die in a way that hangs backend init forever
+    (even bare jax.devices(); the relay process is host-wired and cannot be
+    restarted from inside). Bound the benchmark so a dead tunnel yields an
+    error line instead of a hung process."""
+    import os
+    import threading
+
+    def fire():
+        print(json.dumps({"metric": "sim_years_per_hour", "value": 0.0,
+                          "unit": "sim-years/hour", "vs_baseline": 0.0,
+                          "error": f"watchdog: no result in {seconds}s "
+                                   "(TPU tunnel hung/dead?)"}), flush=True)
+        os._exit(2)
+
+    t = threading.Timer(seconds, fire)
+    t.daemon = True
+    t.start()
+    return t
+
+
 def main():
+    wd = _watchdog()
     import jax  # noqa: F401  (backend init)
     from qingdai_tpu.compile_cache import setup_from_env as _cache_setup
     _cache_setup()
     from qingdai_tpu.physics.orbital import T_PLANET
 
     if "--ablate" in sys.argv:
+        wd.cancel()
+        _watchdog(5400)     # 12 builds; slow sessions run ~15-20 min
         ablate()
         return
 
     chunk_steps = 240
     n_chunks = 5
     per_step, state, dt = _measure(n_chunks=n_chunks, chunk_steps=chunk_steps)
+    wd.cancel()
     sim_years_per_hour = 3600.0 / per_step * dt / T_PLANET
 
     # sanity: the simulated state must remain finite for the number to count
