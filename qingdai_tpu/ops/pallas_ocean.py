@@ -184,7 +184,10 @@ def _ocean_kernel(ms, ks, n_sub, k4_nsub, sub_dt, H_m, r_bot, g, a, dlat,
 
         eta = jnp.clip(_n2n(eta), -eta_cap, eta_cap)
         sst = _n2n(sst)
-        st = jnp.concatenate([sst[None], adv[1:]], axis=0)
+        # tracer-free case: adv[1:] would be a zero-size slice, which Mosaic
+        # rejects ("vector types must have positive constant sizes")
+        st = (jnp.concatenate([sst[None], adv[1:]], axis=0)
+              if st.shape[0] > 1 else sst[None])
 
     mom_out[:] = jnp.stack([uo, vo, eta])
     st_out[:] = st
