@@ -536,6 +536,13 @@ def main():
         print(f"  {'PASS' if v else 'FAIL'}  {k}")
 
 
+def _pick_trend(annual, annual_se, per_chunk, threshold):
+    if np.isfinite(annual) and np.isfinite(annual_se) \
+            and annual_se <= 2.0 * threshold:
+        return annual
+    return per_chunk
+
+
 def build_criteria(m2):
     # docs/11.3 phase-2 criteria; water/LH closures measured net of the
     # reference's global q-damping sink (see acceptance_metrics docstring)
@@ -552,14 +559,21 @@ def build_criteria(m2):
         # trend criteria evaluate the annual-mean OLS slope when the window
         # holds ≥4 whole years (the per-chunk series carries the full
         # seasonal cycle; see _trend_with_se) — else the per-chunk slope
+        # Estimator selection (_trend_with_se docstring): the annual-mean
+        # OLS slope is the unbiased estimator but its SE shrinks as
+        # years^-3/2 — on a short window it is pure noise (measured SE 0.55
+        # W/m²/decade on a 15-yr window, 5× the criterion). Use it only
+        # when it is INFORMATIVE at the criterion scale (SE ≤ 2× threshold,
+        # i.e. the estimate could possibly resolve a violation); otherwise
+        # fall back to the per-chunk slope over the same window.
         "dTOA_dt_lt_0.1_Wm2_decade":
-            abs(m2["dTOA_dt_annual_Wm2_per_decade"]
-                if np.isfinite(m2["dTOA_dt_annual_Wm2_per_decade"])
-                else m2["dTOA_dt_Wm2_per_decade"]) < 0.1,
+            abs(_pick_trend(m2["dTOA_dt_annual_Wm2_per_decade"],
+                            m2["dTOA_dt_annual_se"],
+                            m2["dTOA_dt_Wm2_per_decade"], 0.1)) < 0.1,
         "dTs_dt_abs_lt_0.02_K_decade":
-            abs(m2["dTs_dt_annual_K_per_decade"]
-                if np.isfinite(m2["dTs_dt_annual_K_per_decade"])
-                else m2["dTs_dt_K_per_decade"]) < 0.02,
+            abs(_pick_trend(m2["dTs_dt_annual_K_per_decade"],
+                            m2["dTs_dt_annual_se"],
+                            m2["dTs_dt_K_per_decade"], 0.02)) < 0.02,
         "water_closure_net_of_qdamping_lt_5pct":
             abs(m2["water_residual_minus_qdamping_rel"]) < 0.05,
         "LH_consistency_net_of_qdamping_lt_5pct":
