@@ -123,6 +123,26 @@ def test_midday_resume_warm_caches_optout(tiny_env, monkeypatch):
     assert float(np.abs(np.asarray(wB.state.atmos.P_cond_flux_last)).max()) == 0.0
 
 
+def test_corrupt_sidecar_falls_back_to_netcdf(tiny_env):
+    """A torn/corrupt sidecar (e.g. a crash mid-write before the atomic
+    swap existed, or disk corruption) must not kill the resume: the restore
+    falls back to the NetCDF fields with the warm-cache bootstrap."""
+    import shutil
+    from qingdai_tpu.world import QingdaiWorld
+    wA = QingdaiWorld.create_default()
+    wA.verbose = False
+    wA.step_chunk(10)
+    wA.autosave()
+    shutil.rmtree(os.path.join("data", "world_ckpt"), ignore_errors=True)
+    with open(os.path.join("data", "world_ckpt.npz"), "wb") as f:
+        f.write(b"not a zipfile")
+    wB = QingdaiWorld.create_default()
+    wB.verbose = False
+    assert wB.restore_source == "netcdf"
+    np.testing.assert_allclose(np.asarray(wB.state.atmos.T_s),
+                               np.asarray(wA.state.atmos.T_s), atol=1e-3)
+
+
 def test_sidecar_resume_heals_host_clock(tiny_env):
     """An accepted sidecar drives the host epoch bookkeeping: t_seconds
     equals the restored device clock exactly (host/device lineages can never
