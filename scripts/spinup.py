@@ -229,6 +229,17 @@ def acceptance_metrics(series, eval_years, diff_factor=None, dt=None, L_V=None):
          if k not in ("t_years", "_consts")}
     te = t[sel]
 
+    # fallback-precip transient detection: the legacy convergence precip
+    # (reference physics.py:332-354; fires on cold starts AND on any
+    # NetCDF-only restart, see BASELINE.md) conjures water at 100-1000× the
+    # physical P — one such chunk in the window poisons every budget mean.
+    # Flagged in the record so the eval window choice is auditable.
+    p_all = series["P_mean"]
+    p_med = float(np.median(p_all[np.isfinite(p_all)]))
+    transients = t[np.isfinite(p_all) & (p_all > 10.0 * max(p_med, 1e-30))]
+    transient_in_window = [round(float(x), 3) for x in transients
+                           if x >= (t[-1] - eval_years)]
+
     # linear Ts trend in K per decade (10 Qingdai years)
     slope_per_year = float(np.polyfit(te, w["Ts_mean"], 1)[0])
     dTs_per_decade = slope_per_year * 10.0
@@ -314,6 +325,11 @@ def acceptance_metrics(series, eval_years, diff_factor=None, dt=None, L_V=None):
     return {
         "eval_years": eval_years,
         "n_eval_chunks": n_eval,
+        # chunks whose P_mean exceeds 10× the series median = fallback-precip
+        # transients (cold start / NetCDF-only restart); the steady-state
+        # window must exclude them — an empty list certifies this one does
+        "transient_chunks_in_window_t_years": transient_in_window,
+        "transient_chunks_total": int(transients.size),
         "TOA_net_mean_Wm2": float(np.mean(w["TOA_net"])),
         # the q-damping sink destroys L_v·sink of latent energy that left the
         # surface as LH but never reaches the atmosphere: in equilibrium the
@@ -587,6 +603,10 @@ def build_criteria(m2):
         "routing_mass_error_fully_decomposed":
             (not np.isfinite(m2["routing_mass_error_decomp_resid_rel"]))
             or m2["routing_mass_error_decomp_resid_rel"] < 1e-4,
+        # the steady-state window must not contain a fallback-precip
+        # transient chunk (docs/11.5 稳态; one poisons every budget mean)
+        "eval_window_free_of_transients":
+            len(m2["transient_chunks_in_window_t_years"]) == 0,
     }
     # numpy scalars (np.bool_/np.float64) are not JSON-serializable
     return {k: bool(v) for k, v in crit.items()}

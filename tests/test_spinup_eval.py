@@ -85,6 +85,24 @@ def test_water_closure_net_of_sink():
     assert crit["water_closure_net_of_qdamping_lt_5pct"]
 
 
+def test_transient_chunks_flagged_and_gated():
+    """A fallback-precip deluge chunk (P ~1000× physical) inside the eval
+    window must be detected and fail the window-cleanliness criterion; one
+    outside the window is reported but does not gate."""
+    s = _synthetic_series(years=30.0)
+    s["P_mean"] = s["P_mean"].copy()
+    s["P_mean"][10] = 0.03          # t ≈ 0.21 yr — outside a 20-yr window
+    m = sp.acceptance_metrics(s, 20.0)
+    assert m["transient_chunks_total"] == 1
+    assert m["transient_chunks_in_window_t_years"] == []
+    assert sp.build_criteria(m)["eval_window_free_of_transients"]
+
+    s["P_mean"][-100] = 0.03        # inside the window
+    m2 = sp.acceptance_metrics(s, 20.0)
+    assert len(m2["transient_chunks_in_window_t_years"]) == 1
+    assert not sp.build_criteria(m2)["eval_window_free_of_transients"]
+
+
 def test_reeval_rewrites_record(tmp_path, monkeypatch):
     s = _synthetic_series(years=30.0)
     npz = tmp_path / "series.npz"
