@@ -52,7 +52,11 @@ def _interior_mask(u, v, dt, grid, H, W):
     return ok
 
 
-def test_dynamics_core_parity(ref_modules, monkeypatch):
+@pytest.mark.parametrize("scheme", ["geos", "primitive"])
+def test_dynamics_core_parity(ref_modules, monkeypatch, scheme):
+    """Full-step parity for BOTH momentum schemes: the default geostrophic
+    relaxation and the explicit primitive PGF+Coriolis+friction branch
+    (reference dynamics.py:482-530, env QD_MOM_SCHEME)."""
     SphericalGrid, SpectralModel = ref_modules
     import jax
     import jax.numpy as jnp
@@ -67,6 +71,7 @@ def test_dynamics_core_parity(ref_modules, monkeypatch):
 
     monkeypatch.setenv("QD_ENERGY_W", "0.0")
     monkeypatch.setenv("QD_USE_SEAICE", "0")
+    monkeypatch.setenv("QD_MOM_SCHEME", scheme)
     monkeypatch.setenv("QD_N_LAT", str(H))
     monkeypatch.setenv("QD_N_LON", str(W))
 

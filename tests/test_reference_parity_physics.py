@@ -244,3 +244,27 @@ def test_routing_engine_parity(ref_path, tmp_path, rng):
     fa_got = np.asarray(st.flow_accum_kgps)
     # cell areas differ only by float precision
     np.testing.assert_allclose(fa_got, fa_ref, rtol=1e-5, atol=1e-6)
+
+
+def test_autotune_greenhouse_parity(ref_path):
+    """Greenhouse autotune controller vs the reference
+    autotune_greenhouse_params (energy.py:544-579): same nudge rates, same
+    clipping bounds, over a sweep of TOA_net errors including both
+    saturation ends."""
+    import jax.numpy as jnp
+    from pygcm import energy as ref_en
+    from qingdai_tpu.config import EnergyConfig
+    from qingdai_tpu.physics import energy as en
+
+    cfg = EnergyConfig(tune_rate_eps=5e-5, tune_rate_kc=2e-5)
+    ref_params = ref_en.EnergyParams(lw_eps0=0.70, lw_kc=0.20)
+    eps0, kc = jnp.float64(0.70), jnp.float64(0.20)
+    # large errors drive the controller into its clip bounds within the sweep
+    for toa_net in (0.0, 3.7, -12.5, 15000.0, -40000.0):
+        ref_en.autotune_greenhouse_params(
+            ref_params, {"TOA_net": toa_net}, verbose=False)
+        eps0, kc = en.autotune_greenhouse(eps0, kc, jnp.float64(toa_net), cfg)
+        np.testing.assert_allclose(float(eps0), ref_params.lw_eps0, rtol=1e-12)
+        np.testing.assert_allclose(float(kc), ref_params.lw_kc, rtol=1e-12)
+    # the final state must actually have saturated both bounds at some point
+    assert float(eps0) == 0.98 and float(kc) == 0.80
