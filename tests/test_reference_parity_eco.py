@@ -137,3 +137,111 @@ def test_phyto_daily_parity(ref_path, monkeypatch):
     np.testing.assert_allclose(np.asarray(st.alpha_scalar),
                                ref.alpha_water_scalar, rtol=1e-6)
     np.testing.assert_allclose(np.asarray(st.Kd_490), ref.Kd_490, rtol=1e-6)
+
+
+def test_diversity_metrics_parity(ref_path, monkeypatch):
+    """α/β diversity diagnostics vs the reference (diversity.py:34-135):
+    per-pixel exp(Shannon) α with the reference's NaN conventions (ocean AND
+    zero-LAI land cells), area-weighted Whittaker β scalars, and the
+    4-neighbor Bray-Curtis map (lat-clipped, lon-periodic)."""
+    from pygcm.ecology import diversity as ref_div
+    from qingdai_tpu.ecology import diversity as div
+
+    rng = np.random.default_rng(11)
+    S, H, W = 5, 17, 32
+    L_s = np.where(rng.random((S, H, W)) < 0.7,
+                   rng.random((S, H, W)) * 4.0, 0.0)
+    land = (rng.random((H, W)) < 0.4).astype(int)
+    # some land cells with zero total LAI (the reference leaves them NaN)
+    L_s[:, 3, :8] = 0.0
+    lat = np.linspace(-90, 90, H)
+    lon = np.linspace(0, 360, W)
+    _, lat_mesh = np.meshgrid(lon, lat)
+
+    a_ref = ref_div.compute_alpha_eff_map(L_s, land)
+    a_got = np.asarray(div.compute_alpha_eff_map(L_s, land))
+    np.testing.assert_array_equal(np.isnan(a_ref), np.isnan(a_got))
+    np.testing.assert_allclose(a_got[~np.isnan(a_ref)],
+                               a_ref[~np.isnan(a_ref)], rtol=1e-10)
+
+    b_ref = ref_div.compute_whittaker_beta(L_s, land, lat_mesh)
+    b_got = div.compute_whittaker_beta(L_s, land, lat_mesh)
+    for k in ("alpha_mean", "gamma_eff", "beta_whittaker"):
+        np.testing.assert_allclose(b_got[k], b_ref[k], rtol=1e-10, err_msg=k)
+
+    bc_ref = ref_div.compute_local_bray_curtis(L_s, land)
+    bc_got = np.asarray(div.compute_local_bray_curtis(L_s, land))
+    np.testing.assert_array_equal(np.isnan(bc_ref), np.isnan(bc_got))
+    np.testing.assert_allclose(bc_got[~np.isnan(bc_ref)],
+                               bc_ref[~np.isnan(bc_ref)], rtol=1e-10)
+
+
+def test_plant_fsm_lifecycle_parity(ref_path, monkeypatch):
+    """Scalar Plant FSM vs the reference (plant.py:33-305), stepped side by
+    side through a full lifecycle: germination (GDD), growth, maturity
+    (leaf-area threshold), drought-stress senescence and death — with both
+    the scalar substep and the banded (Beer-Lambert self-shaded) energy
+    paths, comparing every piece of bookkeeping each day."""
+    import importlib
+    import pygcm.ecology.plant as ref_plant_mod
+    import pygcm.ecology.genes as ref_genes_mod
+    from qingdai_tpu.ecology.plant import Plant, PlantState
+    from qingdai_tpu.ecology import genes as genes_mod
+
+    monkeypatch.setenv("QD_ECO_STRESS_WATER_DAYS", "4")
+    ref_g = ref_genes_mod.Genes.from_env()
+    g = genes_mod.Genes.from_env()
+    for obj in (ref_g, g):
+        obj.gdd_germinate = 15.0
+        obj.lifespan_days = 36
+        obj.drought_tolerance = 0.3
+        obj.leaf_area_per_energy = 2e-7
+    ref_p = ref_plant_mod.Plant(genes=ref_g)
+    p = Plant(genes=g)
+
+    rng = np.random.default_rng(4)
+    NB = 8
+    I_bands = rng.random(NB) * 1.2
+    A_b = rng.random(NB)
+    dlam = np.full(NB, 25.0)
+
+    for day in range(40):
+        soil = 0.9 if day < 18 else 0.05   # drought from day 18
+        for _ in range(4):
+            if day % 2 == 0:
+                ref_p.update_substep(120.0, 7200.0, soil_water_index=soil)
+                p.update_substep(120.0, 7200.0, soil_water_index=soil)
+            else:
+                ref_p.update_substep_bands(I_bands, A_b, 7200.0,
+                                           delta_lambda=dlam,
+                                           soil_water_index=soil)
+                p.update_substep_bands(I_bands, A_b, 7200.0,
+                                       delta_lambda=dlam,
+                                       soil_water_index=soil)
+        kw = (dict(I_bands=I_bands, A_b_genotype=A_b, delta_lambda=dlam)
+              if day % 3 == 0 else {})
+        r_ref = ref_p.update_one_day(295.0, 20.0, soil, **kw)
+        r = p.update_one_day(295.0, 20.0, soil, **kw)
+
+        assert p.state.name == ref_p.state.name, f"day {day}"
+        assert p.age_days == ref_p.age_days
+        np.testing.assert_allclose(p.gdd_accum, ref_p.gdd_accum, rtol=1e-12)
+        np.testing.assert_allclose(p.water_stress_days,
+                                   ref_p.water_stress_days, rtol=1e-12)
+        for k in ("root", "stem", "leaf"):
+            np.testing.assert_allclose(p.biomass[k], ref_p.biomass[k],
+                                       rtol=1e-12, err_msg=f"day {day} {k}")
+        np.testing.assert_allclose(p.height, ref_p.height, rtol=1e-12)
+        np.testing.assert_allclose(p.leaf_area, ref_p.leaf_area, rtol=1e-12)
+        np.testing.assert_allclose(p.energy_storage, ref_p.energy_storage,
+                                   rtol=1e-12)
+        assert r.seed_count == r_ref.seed_count, f"day {day}"
+        np.testing.assert_allclose(r.energy_gain, r_ref.energy_gain,
+                                   rtol=1e-12)
+        if r_ref.reflectance_bands is not None:
+            np.testing.assert_allclose(np.asarray(r.reflectance_bands),
+                                       np.asarray(r_ref.reflectance_bands),
+                                       rtol=1e-12)
+
+    # the scripted forcing must actually have traversed the whole FSM
+    assert ref_p.state.name == "DEAD"
