@@ -542,6 +542,10 @@ class EcologyConfig:
     indiv_stress_penalty: float = 0.2
     indiv_stress_decay: float = 0.5
     indiv_seed_couple: bool = True
+    # the reference's soil gate on seed coupling is dead code (individuals.py
+    # :322 checks locals() before soil_idx is bound at :344); default matches
+    # the as-run behavior (ungated), the knob opts into the intended gate
+    indiv_seed_soil_gate: bool = False
     lai_growth_rate: float = 0.002
     lai_decay_rate: float = 0.001
     lai_recruit_frac: float = 0.2
@@ -625,6 +629,7 @@ class EcologyConfig:
             indiv_stress_penalty=_f("QD_ECO_INDIV_STRESS_PENALTY", 0.2),
             indiv_stress_decay=_f("QD_ECO_INDIV_STRESS_DECAY", 0.5),
             indiv_seed_couple=_b("QD_ECO_INDIV_SEED_COUPLE", True),
+            indiv_seed_soil_gate=_b("QD_ECO_INDIV_SEED_SOIL_GATE", False),
             lai_growth_rate=_f("QD_ECO_LAI_GROWTH_RATE", 0.002),
             lai_decay_rate=_f("QD_ECO_LAI_DECAY_RATE", 0.001),
             lai_recruit_frac=_f("QD_ECO_LAI_RECRUIT_FRAC", 0.2),

@@ -220,12 +220,17 @@ def indiv_step_daily(ist: IndivStatic, st: IndivState, es: EcoStatic,
     eco = dataclasses.replace(eco, LAI_SK=LAI_SK)
     eco = pop_mod.recompute_weights_from_LAI(eco, es)
 
-    # seed-bank coupling (individuals.py:314-337)
+    # seed-bank coupling (individuals.py:314-337). The reference's soil
+    # gating there is dead code — its `if 'soil_idx' in locals()` check runs
+    # before soil_idx is ever bound (individuals.py:322 vs :344), so as-run
+    # the seeds are NOT soil-gated; QD_ECO_INDIV_SEED_SOIL_GATE opts into
+    # the evidently intended gate.
     if cfg.indiv_seed_couple:
-        soil_cells = soil_idx[ist.sample_j, ist.sample_i]
         seeds_cells = (max(0.0, cfg.repro_fraction) * jnp.maximum(0.0, denom)
                        / max(cfg.seed_energy, 1e-12))
-        seeds_cells = seeds_cells * jnp.clip(soil_cells, 0.0, 1.0)
+        if cfg.indiv_seed_soil_gate:
+            soil_cells = soil_idx[ist.sample_j, ist.sample_i]
+            seeds_cells = seeds_cells * jnp.clip(soil_cells, 0.0, 1.0)
         seeds_cells = cfg.seed_bank_retain * seeds_cells
         sb = eco.seed_bank.at[ist.sample_j, ist.sample_i].add(seeds_cells)
         eco = dataclasses.replace(eco, seed_bank=jnp.clip(sb, 0.0, cfg.seed_bank_max))

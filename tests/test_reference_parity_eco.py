@@ -245,3 +245,94 @@ def test_plant_fsm_lifecycle_parity(ref_path, monkeypatch):
 
     # the scripted forcing must actually have traversed the whole FSM
     assert ref_p.state.name == "DEAD"
+
+
+def test_individual_pool_parity(ref_path, monkeypatch):
+    """Sampled-individual pool vs the reference IndividualPool
+    (individuals.py:23-361): identical rng(42) draw order makes the static
+    sampling (cells, species ids, jittered reflectance) bit-equal, then one
+    full day (4 banded substeps + the daily LAI-split/growth/seed-coupling
+    step) is compared field by field.
+
+    The land mask is an isolated lattice so the reference's sequential
+    per-cell loop cannot feed one sampled cell's recruit spill into another
+    sampled cell's magnitude update within the same day (the TPU version
+    gathers all columns first)."""
+    import types
+    import jax.numpy as jnp
+    from pygcm.grid import SphericalGrid
+    from pygcm.ecology.population import PopulationManager
+    from pygcm.ecology.individuals import IndividualPool
+    from pygcm.ecology.spectral import make_bands
+    from qingdai_tpu.config import EcologyConfig
+    from qingdai_tpu.ecology import population as pop_mod
+    from qingdai_tpu.ecology import individuals as ind
+
+    monkeypatch.setenv("QD_ECO_NS", "4")
+    monkeypatch.setenv("QD_ECO_RAND_SEED", "3")
+    # large seed_energy keeps seeds/cell below seed_bank_max: a saturated
+    # bank clips both sides to 1000 and would hide coupling differences
+    monkeypatch.setenv("QD_ECO_SEED_ENERGY", "1e5")
+    rng = np.random.default_rng(9)
+    H, W = 12, 24
+    land = np.zeros((H, W), int)
+    land[1::3, ::3] = 1                      # isolated land cells only
+
+    ref_grid = SphericalGrid(n_lat=H, n_lon=W)
+    ref_pop = PopulationManager(land, diag=False)
+    cfg = EcologyConfig(ns=4, species_max=4, rand_seed=3, seed_energy=1e5,
+                        indiv_sample_frac=0.5, indiv_per_cell=5,
+                        indiv_substeps_per_day=4)
+    es, eco, bands, _ = pop_mod.build_eco((H, W), land, cfg, dtype=jnp.float64)
+
+    # pin the pool inputs identical on both sides: species reflectance and
+    # per-species drought tolerance feed the rng-jittered static arrays
+    ref_pop._species_R_leaf = np.asarray(eco.R_leaf, float).copy()
+    np.testing.assert_allclose(ref_pop.species_weights,
+                               np.asarray(eco.species_weights), rtol=1e-12)
+    genes_list = [types.SimpleNamespace(drought_tolerance=float(t))
+                  for t in np.asarray(eco.drought_tolerance)]
+    adapter = types.SimpleNamespace(bands=make_bands(), pop=ref_pop,
+                                    genes_list=genes_list)
+    ref_ip = IndividualPool(ref_grid, land, adapter, sample_frac=0.5,
+                            per_cell=5, substeps_per_day=4, diag=False)
+    ist, st = ind.build_individuals((H, W), land, es, eco, cfg,
+                                    dtype=jnp.float64)
+
+    # static sampling parity (same rng stream → bit-equal)
+    np.testing.assert_array_equal(np.asarray(ist.sample_j), ref_ip.sample_j)
+    np.testing.assert_array_equal(np.asarray(ist.sample_i), ref_ip.sample_i)
+    np.testing.assert_array_equal(np.asarray(ist.species_id),
+                                  ref_ip.indiv_species_id)
+    np.testing.assert_allclose(np.asarray(st.Ab), ref_ip.indiv_Ab, rtol=1e-12)
+    np.testing.assert_allclose(np.asarray(st.tol), ref_ip.indiv_tol, rtol=1e-12)
+
+    # one day: 4 substeps, each exactly one fire
+    day_len = 72000.0
+    dt = day_len / 4
+    soil = rng.uniform(0, 1, (H, W))
+    for k in range(4):
+        isr_A = np.abs(rng.standard_normal((H, W))) * 400
+        isr_B = np.abs(rng.standard_normal((H, W))) * 120
+        ref_ip.try_substep(isr_A, isr_B, adapter, soil, dt, day_len)
+        st = ind.indiv_try_substep(ist, st, es, cfg, jnp.asarray(isr_A),
+                                   jnp.asarray(isr_B), jnp.asarray(soil),
+                                   dt, day_len)
+    E_day, add_wsd = ind.materialize_day(ist, st)
+    np.testing.assert_allclose(np.asarray(E_day), ref_ip.indiv_E_day,
+                               rtol=1e-8)
+    np.testing.assert_allclose(np.asarray(add_wsd),
+                               ref_ip.indiv_water_stress_days, rtol=1e-12)
+
+    # daily step: LAI split rewrite + growth/decay + recruit spill +
+    # seed-bank coupling + stress decay
+    ref_ip.step_daily(adapter, soil)
+    st, eco2 = ind.indiv_step_daily(ist, st, es, eco, cfg, jnp.asarray(soil))
+    np.testing.assert_allclose(np.asarray(eco2.LAI_SK), ref_pop.LAI_layers_SK,
+                               rtol=1e-7, atol=1e-12)
+    np.testing.assert_allclose(np.asarray(eco2.seed_bank), ref_pop.seed_bank,
+                               rtol=1e-7, atol=1e-12)
+    np.testing.assert_allclose(np.asarray(st.water_stress_days),
+                               ref_ip.indiv_water_stress_days, rtol=1e-8)
+    np.testing.assert_allclose(np.asarray(eco2.species_weights),
+                               ref_pop.species_weights, rtol=1e-7)
