@@ -268,3 +268,76 @@ def test_autotune_greenhouse_parity(ref_path):
         np.testing.assert_allclose(float(kc), ref_params.lw_kc, rtol=1e-12)
     # the final state must actually have saturated both bounds at some point
     assert float(eps0) == 0.98 and float(kc) == 0.80
+
+
+def test_small_function_parity_batch(ref_path, rng, monkeypatch):
+    """Parity for the remaining small reference functions: hard precip
+    phase split (hydrology.py:83-98), legacy snow_step (:180-216), q_init
+    (humidity.py:104-115), integrate_surface_energy_map incl. its C_s guard
+    and t_floor clamp (energy.py:263-290), and gray LW v1 (energy.py:101-137)."""
+    import jax.numpy as jnp
+    from pygcm import energy as ref_en
+    from pygcm import humidity as ref_hum
+    from pygcm import hydrology as ref_h
+    from qingdai_tpu.config import EnergyConfig, HydrologyConfig
+    from qingdai_tpu.physics import energy as en
+    from qingdai_tpu.physics import humidity as hum
+    from qingdai_tpu.physics import hydrology as hyd
+
+    shape = (14, 22)
+    Ts = 270 + 25 * rng.standard_normal(shape)
+    P = np.abs(rng.standard_normal(shape)) * 1e-5
+
+    ra, sa = ref_h.partition_precip_phase(P, Ts)
+    rb, sb = hyd.partition_precip_phase(jnp.asarray(P), jnp.asarray(Ts))
+    np.testing.assert_allclose(np.asarray(rb), ra, rtol=1e-12)
+    np.testing.assert_allclose(np.asarray(sb), sa, rtol=1e-12)
+
+    params = ref_h.HydrologyParams()
+    cfg_h = HydrologyConfig()
+    S = np.abs(rng.standard_normal(shape)) * 5e-3   # small: melt cap binds
+    Sa, ma = ref_h.snow_step(S, sa, Ts, params, 300.0)
+    Sb, mb = hyd.snow_step(jnp.asarray(S), sb, jnp.asarray(Ts), cfg_h, 300.0)
+    np.testing.assert_allclose(np.asarray(Sb), Sa, rtol=1e-10, atol=1e-18)
+    np.testing.assert_allclose(np.asarray(mb), ma, rtol=1e-10, atol=1e-18)
+
+    qa = ref_hum.q_init(Ts, RH0=0.37, p0=9.3e4)
+    qb = hum.q_init(jnp.asarray(Ts), RH0=0.37, p0=9.3e4)
+    np.testing.assert_allclose(np.asarray(qb), qa, rtol=1e-10)
+
+    # map integrator: exercise the C_s<1e3 guard and the 150 K floor
+    C_s = np.where(rng.random(shape) < 0.2, 5e2, 2e8)
+    SW = 300 * rng.random(shape)
+    LW = 100 * rng.standard_normal(shape)
+    SH = 30 * rng.standard_normal(shape)
+    # strongly negative net on the guard cells drives Ts through the floor
+    LH = np.abs(rng.standard_normal(shape)) * 80 + np.where(C_s < 1e3, 2e3, 0.0)
+    Tsn_a = ref_en.integrate_surface_energy_map(Ts, SW, LW, SH, LH, 300.0, C_s)
+    Tsn_b = en.integrate_surface_energy_map(jnp.asarray(Ts), jnp.asarray(SW),
+                                            jnp.asarray(LW), jnp.asarray(SH),
+                                            jnp.asarray(LH), 300.0,
+                                            jnp.asarray(C_s))
+    assert (np.asarray(Tsn_b) == 150.0).any(), "t_floor path not exercised"
+    np.testing.assert_allclose(np.asarray(Tsn_b), Tsn_a, rtol=1e-10)
+    # scalar SH/LH broadcast path
+    Tsn_a2 = ref_en.integrate_surface_energy_map(Ts, SW, LW, 10.0, 20.0, 300.0, C_s)
+    Tsn_b2 = en.integrate_surface_energy_map(jnp.asarray(Ts), jnp.asarray(SW),
+                                             jnp.asarray(LW), 10.0, 20.0,
+                                             300.0, jnp.asarray(C_s))
+    np.testing.assert_allclose(np.asarray(Tsn_b2), Tsn_a2, rtol=1e-10)
+
+    # gray one-layer LW v1 (locked and unlocked greenhouse)
+    Ta = Ts - 10
+    cloud = rng.uniform(0, 1, shape)
+    ep = ref_en.EnergyParams()
+    for lock in (True, False):
+        # the reference reads QD_GH_LOCK/QD_GH_FACTOR inside the function
+        monkeypatch.setenv("QD_GH_LOCK", "1" if lock else "0")
+        ecfg = EnergyConfig(gh_lock=lock, gh_factor=0.582)
+        la, lsa, oa, da = ref_en.longwave_radiation(Ts, Ta, cloud, ep)[:4]
+        lb, lsb, ob, db = en.longwave_radiation(jnp.asarray(Ts), jnp.asarray(Ta),
+                                                jnp.asarray(cloud), ecfg)[:4]
+        np.testing.assert_allclose(np.asarray(ob), oa, rtol=1e-10)
+        np.testing.assert_allclose(np.asarray(db), da, rtol=1e-10)
+        np.testing.assert_allclose(np.asarray(lsb), lsa, rtol=1e-8, atol=1e-8)
+        np.testing.assert_allclose(np.asarray(lb), la, rtol=1e-8, atol=1e-8)
