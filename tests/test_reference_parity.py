@@ -52,11 +52,19 @@ def _interior_mask(u, v, dt, grid, H, W):
     return ok
 
 
-@pytest.mark.parametrize("scheme", ["geos", "primitive"])
-def test_dynamics_core_parity(ref_modules, monkeypatch, scheme):
-    """Full-step parity for BOTH momentum schemes: the default geostrophic
-    relaxation and the explicit primitive PGF+Coriolis+friction branch
-    (reference dynamics.py:482-530, env QD_MOM_SCHEME)."""
+@pytest.mark.parametrize("scheme,energy_w,seaice",
+                         [("geos", 0.0, "0"), ("primitive", 0.0, "0"),
+                          ("geos", 1.0, "1")],
+                         ids=["geos-newton", "primitive-newton",
+                              "geos-energy-seaice"])
+def test_dynamics_core_parity(ref_modules, monkeypatch, scheme, energy_w,
+                              seaice):
+    """Full-step parity across the reference's Ts-update and momentum
+    branches: Newton path (albedo=None, the reference as-run config), the
+    explicit primitive momentum branch (dynamics.py:482-530), and the
+    explicit energy path with sea ice (albedo given, QD_ENERGY_W=1 — the
+    as-designed path the reference benchmark exercises, dynamics.py:326-449
+    incl. the RH/P_cond cloud-optics coupling and its median P_ref)."""
     SphericalGrid, SpectralModel = ref_modules
     import jax
     import jax.numpy as jnp
@@ -69,8 +77,8 @@ def test_dynamics_core_parity(ref_modules, monkeypatch, scheme):
     friction = np.where(land_mask == 1, 1e-5, 1e-6)
     C_s_map = np.where(land_mask == 1, 3e6, 4.2e8).astype(float)
 
-    monkeypatch.setenv("QD_ENERGY_W", "0.0")
-    monkeypatch.setenv("QD_USE_SEAICE", "0")
+    monkeypatch.setenv("QD_ENERGY_W", str(energy_w))
+    monkeypatch.setenv("QD_USE_SEAICE", seaice)
     monkeypatch.setenv("QD_MOM_SCHEME", scheme)
     monkeypatch.setenv("QD_N_LAT", str(H))
     monkeypatch.setenv("QD_N_LON", str(W))
@@ -115,14 +123,20 @@ def test_dynamics_core_parity(ref_modules, monkeypatch, scheme):
     albedo = np.full((H, W), 0.3)
     Teq = (np.maximum(isr * (1 - albedo), 0.0) / 5.670374e-8) ** 0.25
 
+    energy_path = energy_w > 0.0
     for step in range(8):
         mask = _interior_mask(np.asarray(gcm.u), np.asarray(gcm.v), dt,
                               ref_grid, H, W)
-        gcm.time_step(Teq, dt)  # reference as-run: albedo=None
+        if energy_path:
+            gcm.isr = isr        # the energy branch reads gcm.isr (:331)
+            gcm.time_step(Teq, dt, albedo=albedo)
+        else:
+            gcm.time_step(Teq, dt)  # reference as-run: albedo=None
         atmos, _aux = atmos_step(grid, cfg, static, atmos, estate,
                                  f64(Teq), f64(albedo), f64(isr),
                                  jnp.asarray(step), dt)
-        for name, ref_val, got in [
+        extra = [("h_ice", gcm.h_ice, atmos.h_ice)] if energy_path else []
+        for name, ref_val, got in extra + [
                 ("T_s", gcm.T_s, atmos.T_s), ("q", gcm.q, atmos.q),
                 ("h", gcm.h, atmos.h), ("u", gcm.u, atmos.u),
                 ("v", gcm.v, atmos.v),
