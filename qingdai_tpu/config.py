@@ -481,6 +481,8 @@ class EcologyConfig:
     enabled: bool = True
     subdaily_enable: bool = True
     albedo_couple: bool = True
+    # parsed for QD_* surface parity but inert, exactly like the reference:
+    # adapter.py:20,39 parse couple_freq and only ever echo it at :75
     albedo_couple_freq: str = "subdaily"
     bands_couple: bool = False
     use_lai: bool = True
@@ -859,6 +861,8 @@ class RunConfig:
     # (the step is op-overhead-bound, ~600 small fusions) at the cost of
     # proportionally longer compiles
     scan_unroll: int = 1
+    pack_diags: bool = False    # QD_PACK_DIAGS: stack diag scalars into one
+                                # [D] vector per step (measured slower; A/B)
 
     @staticmethod
     def from_env() -> "RunConfig":
@@ -897,6 +901,7 @@ class RunConfig:
             diag_fetch_steps=_i("QD_DIAG_FETCH_STEPS", 2400),
             autosave_min_wall_s=_f("QD_AUTOSAVE_MIN_WALL_S", 30.0),
             scan_unroll=_i("QD_SCAN_UNROLL", 1),
+            pack_diags=_b("QD_PACK_DIAGS", False),
         )
 
 

@@ -15,6 +15,32 @@ import jax
 import numpy as np
 
 
+def save_checkpoint_meta(path: str, t_seconds: float) -> None:
+    """Stamp the exact host-side epoch next to the snapshot (atomic).
+
+    The in-state device clock (ClockState.t_seconds) is f32 bookkeeping that
+    accumulates t+dt per step — at epoch ~1e9 s its spacing is 64 s and the
+    per-step rounding drifts by ~1e4 s per simulated day, so it cannot serve
+    as the staleness guard against atmosphere.nc's exact f64 t_seconds. This
+    f64 stamp is written from the same host value the NetCDF set records."""
+    import json
+    meta = path + ".meta.json"
+    tmp = meta + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump({"t_seconds": float(t_seconds)}, f)
+    os.replace(tmp, meta)
+
+
+def load_checkpoint_meta(path: str):
+    """Return the stamped host epoch (float) or None for pre-stamp sidecars."""
+    import json
+    try:
+        with open(path + ".meta.json") as f:
+            return float(json.load(f)["t_seconds"])
+    except (OSError, ValueError, KeyError):
+        return None
+
+
 def save_checkpoint(path: str, state) -> None:
     """Orbax single-snapshot save; falls back to NPZ-of-leaves if orbax is
     unavailable OR cannot run (its async machinery needs live executors, so

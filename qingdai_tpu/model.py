@@ -414,9 +414,21 @@ def make_step_fn(model: Model, daily_mode: str = "cond",
 
         alpha_eco_last = alb.alpha_ecology_last
         if eco_on and cfg.ecology.subdaily_enable and cfg.ecology.albedo_couple:
-            eco_state, alpha_map = eco_mod.eco_step_subdaily(
+            # energy accumulation runs every physics step; the albedo map
+            # refresh is cadenced by QD_ECO_SUBSTEP_EVERY_NPHYS exactly like
+            # the reference adapter (adapter.py:151-158: _step_count starts
+            # at 1; a non-boundary call returns None and the driver keeps
+            # the previous map)
+            eco_state, alpha_fresh = eco_mod.eco_step_subdaily(
                 model.eco_static, eco_state, cfg.ecology, isr, dt)
-            alpha_apply = alpha_map  # substep_every_nphys=1 default → fresh map
+            n_every = max(1, int(cfg.ecology.substep_every_nphys))
+            if n_every == 1:
+                alpha_map = alpha_fresh
+            else:
+                at_boundary = ((step_idx + 1) % n_every) == 0
+                alpha_map = jnp.where(at_boundary, alpha_fresh,
+                                      alpha_eco_last)
+            alpha_apply = alpha_map
             W_LAI = cfg.ecology.lai_albedo_weight
             m = land & (~glacier) & jnp.isfinite(alpha_apply)
             base_input = jnp.where(
@@ -696,8 +708,10 @@ def make_chunk_fn(model: Model, chunk_steps: Optional[int] = None,
     # (0.3515 vs 0.3375 ms/step best-of same-session) — the 40-operand
     # scalar stack costs more than the per-leaf updates it replaces
     # (perf-notes "Negative results").
-    import os
-    pack_on = os.getenv("QD_PACK_DIAGS", "0") not in ("0", "false")
+    # frozen into SimConfig like every other knob (CLAUDE.md config rule):
+    # an ambient env read here would bypass set-and-restore scripts and the
+    # world's _chunk_key cache
+    pack_on = model.cfg.run.pack_diags
 
     def _packer(step_fn):
         names = {}

@@ -162,7 +162,7 @@ def generate_base_properties(mask, elevation=None, lat_mesh=None):
 
 def export_topography_to_netcdf(lat, lon, elevation, land_mask, base_albedo,
                                 friction, sea_level_m, out_path,
-                                target_land_frac=0.29):
+                                target_land_frac=0.29, seed=None):
     """Reference-compatible topography export (topography.py:353-423)."""
     from .io.ncdataset import Dataset
     os.makedirs(os.path.dirname(out_path) or ".", exist_ok=True)
@@ -188,6 +188,10 @@ def export_topography_to_netcdf(lat, lon, elevation, land_mask, base_albedo,
         ds.title = "Qingdai Topography and Surface Properties"
         ds.sea_level_m = float(sea_level_m)
         ds.target_land_fraction = float(target_land_frac)
+        if seed is not None:
+            # extra (non-reference) attr: lets reusers detect that an
+            # existing file was generated with a different QD_SEED
+            ds.generation_seed = int(seed)
         ds.planet_radius_m = constants.PLANET_RADIUS
         ds.planet_omega_rad_s = constants.PLANET_OMEGA
         ds.planet_axial_tilt_deg = constants.PLANET_AXIAL_TILT

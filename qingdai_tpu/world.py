@@ -21,6 +21,7 @@ from concurrent.futures import ThreadPoolExecutor
 from typing import Optional
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 
 from . import constants as const
@@ -167,8 +168,13 @@ class QingdaiWorld:
             rst = ncio.load_restart(os.path.join("data", "atmosphere.nc"))
             used_autosave = True
             self._log("[Autosave] Loaded checkpoint from 'data/atmosphere.nc'.")
-        if rst is not None and rst.get("t_seconds"):
+        if rst is not None and rst.get("t_seconds") is not None:
             t0 = float(rst["t_seconds"])
+        # NOTE: a restart saved at exactly t=0.0 still falls into the
+        # QD_ORBIT_EPOCH_* rebase below — deliberately so: the reference
+        # gates its epoch override on `t0_seconds == 0.0` too
+        # (run_simulation.py:1630-1635), despite its comment saying
+        # "only if no restart time was loaded".
         if t0 == 0.0:
             if cfg.run.orbit_epoch_seconds is not None:
                 t0 = cfg.run.orbit_epoch_seconds
@@ -242,17 +248,31 @@ class QingdaiWorld:
                 restored = ckpt.load_checkpoint(ckpt_path, self.state)
                 # staleness guard: a crash between the atmosphere.nc write and
                 # the sidecar write (or a 'checkpoint skipped' save) can leave
-                # the two artifacts from different instants. The sidecar's
-                # device clock must match atmosphere.nc's t_seconds to within
-                # one step (+ f32 clock spacing at this epoch); otherwise the
-                # NetCDF fields are the newer truth and the sidecar is dropped.
-                t_ckpt = float(np.asarray(restored.clock.t_seconds))
+                # the two artifacts from different instants. The authoritative
+                # comparison is the sidecar's f64 host-epoch stamp (written in
+                # the same _write_autosave as atmosphere.nc's t_seconds). The
+                # in-state f32 device clock drifts by ~1e4 s per sim-day at
+                # epoch ~1e9 s (spacing 64 s, +300 s steps round down), so it
+                # only serves as a conservative fallback for pre-stamp
+                # sidecars — those are dropped once the epoch outgrows f32.
+                t_meta = ckpt.load_checkpoint_meta(ckpt_path)
+                t_ckpt = (t_meta if t_meta is not None
+                          else float(np.asarray(restored.clock.t_seconds)))
                 tol = 2.0 * self.model.dt + 2.0 * abs(np.spacing(
                     np.float32(max(abs(t0), 1.0))))
                 if abs(t_ckpt - t0) <= tol:
+                    # reset the restored device clock's bookkeeping scalar to
+                    # the exact epoch so inherited f32 drift does not compound
+                    # across resume chains (phases carry the physics clock)
+                    import dataclasses as _dc
+                    restored = _dc.replace(
+                        restored, clock=_dc.replace(
+                            restored.clock,
+                            t_seconds=jnp.asarray(
+                                t_ckpt, restored.clock.t_seconds.dtype)))
                     self.state = restored
-                    # host bookkeeping follows the device clock exactly so
-                    # the two lineages can never split across resume chains
+                    # host bookkeeping follows the sidecar's instant exactly
+                    # so the two lineages can never split across resume chains
                     self.t_seconds = t_ckpt
                     self.restore_source = "sidecar"
                     self._warn("[Autosave] Full-pytree checkpoint restored "
@@ -358,10 +378,26 @@ class QingdaiWorld:
         self._last_autosave_wall = now
         state_ref = self.state
         t_sec = self.t_seconds
-        self._io_futures = [f for f in self._io_futures if not f.done()]
+        self._prune_io_futures()
         self._autosave_future = self._io_pool.submit(
             lambda: self._write_autosave(jax.device_get(state_ref), t_sec))
         self._io_futures.append(self._autosave_future)
+
+    def _prune_io_futures(self):
+        """Drop completed IO futures — retrieving each result first, so an
+        async task that failed and completed before the next prune (the
+        common case) surfaces as a loud warning instead of vanishing;
+        flush_io only ever sees the futures still pending at end of run."""
+        still = []
+        for f in self._io_futures:
+            if f.done():
+                try:
+                    f.result()
+                except Exception as e:
+                    self._warn(f"[IO] async task failed: {e}")
+            else:
+                still.append(f)
+        self._io_futures = still
 
     def flush_io(self):
         self._diag_flush()
@@ -395,12 +431,24 @@ class QingdaiWorld:
         try:
             from .io import checkpoint as ckpt
             ckpt.save_checkpoint(os.path.join("data", "world_ckpt"), state)
+            # stamp the exact host epoch (the f32 device clock drifts at
+            # large epochs and cannot anchor the staleness guard)
+            ckpt.save_checkpoint_meta(os.path.join("data", "world_ckpt"),
+                                      t_seconds)
         except Exception as e:
             self._warn(f"[Autosave] full-pytree checkpoint skipped: {e}")
+        # keep the rest of the set writing even if one artifact fails —
+        # a torn autosave set plus silence cost a day of forensics once
         if cfg.ocean.enabled:
-            ncio.save_ocean(os.path.join("data", "ocean.nc"), self.lat, self.lon,
-                            state.ocean, day_value)
-        self._write_autosave_eco_phyto(state, day_value)
+            try:
+                ncio.save_ocean(os.path.join("data", "ocean.nc"), self.lat,
+                                self.lon, state.ocean, day_value)
+            except Exception as e:
+                self._warn(f"[Autosave] ocean.nc save failed: {e}")
+        try:
+            self._write_autosave_eco_phyto(state, day_value)
+        except Exception as e:
+            self._warn(f"[Autosave] ecology/phyto autosave failed: {e}")
 
     def _write_autosave_eco_phyto(self, state, day_value):
         cfg = self.cfg
@@ -511,7 +559,17 @@ class QingdaiWorld:
     def _nancheck_async(self, state_ref, t_sec):
         """QD_DEBUG_NANCHECK=1: scan the state for non-finite leaves on the IO
         worker (the reference's pervasive nan_to_num guards become an explicit
-        debug check here, SURVEY.md §5.2)."""
+        debug check here, SURVEY.md §5.2).
+
+        Single-slot: each check device_gets most of the WorldState (~0.4 s of
+        tunnel latency + MBs at 63 MB/s), so when chunks complete faster than
+        the fetch the queue would otherwise grow without bound, each entry
+        pinning a full state pytree (the round-1 autosave pathology). A
+        skipped tick costs nothing — the next one scans the newer state."""
+        prev = getattr(self, "_nancheck_future", None)
+        if prev is not None and not prev.done():
+            return
+
         def check():
             import numpy as _np
             bad = []
@@ -528,7 +586,8 @@ class QingdaiWorld:
             if bad:
                 print(f"[NanCheck] t={t_sec:.0f}s: non-finite values in "
                       f"{len(bad)} leaves: {', '.join(bad[:8])}")
-        self._io_futures.append(self._io_pool.submit(check))
+        self._nancheck_future = self._io_pool.submit(check)
+        self._io_futures.append(self._nancheck_future)
 
     def _print_diags_async(self, diags, step0: int, flush: bool = False):
         """Queue diagnostic printing on the IO worker so the chunk loop never
@@ -555,7 +614,7 @@ class QingdaiWorld:
             for h, (_, s0) in zip(host, batch):
                 self._print_diags_host(h, s0)
 
-        self._io_futures = [f for f in self._io_futures if not f.done()]
+        self._prune_io_futures()
         self._io_futures.append(self._io_pool.submit(task))
 
     def _print_diags(self, diags, step0: int):
@@ -682,13 +741,16 @@ class QingdaiWorld:
                 try:
                     from .ecology import diversity as div
                     lat_mesh = np.tile(self.lat[:, None], (1, len(self.lon)))
-                    eco_ref = self.state.eco
-                    t_days = self.t_seconds / self.day_seconds
+                    # freeze the snapshot refs via default args (like _rate):
+                    # a late-bound closure on a backlogged IO worker would
+                    # plot the NEWER eco state under the older cadence point
                     self._io_futures.append(self._io_pool.submit(
-                        lambda: div.compute_and_plot(
-                            self.lat, self.lon, lat_mesh,
-                            jax.device_get(eco_ref), self.land_mask,
-                            t_days, "output")))
+                        lambda _eco=self.state.eco, _mesh=lat_mesh,
+                               _t=self.t_seconds / self.day_seconds:
+                        div.compute_and_plot(
+                            self.lat, self.lon, _mesh,
+                            jax.device_get(_eco), self.land_mask,
+                            _t, "output")))
                 except Exception as e:
                     self._log(f"[Diversity] diagnostics skipped: {e}")
                 diversity_next_day += cfg.ecology.diversity_every_days
@@ -733,7 +795,7 @@ class QingdaiWorld:
                     elevation=self.elevation, lat=self.lat, lon=self.lon)
                 viz.plot_all(snap, t_days, "output")
 
-            self._io_futures = [f for f in self._io_futures if not f.done()]
+            self._prune_io_futures()
             self._io_futures.append(self._io_pool.submit(render))
         except Exception as e:  # plots must never kill the run
             self._log(f"[Viz] skipped: {e}")

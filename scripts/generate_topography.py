@@ -62,7 +62,8 @@ def main():
         f"{time.strftime('%Y%m%dT%H%M%SZ', time.gmtime())}.nc")
     topo.export_topography_to_netcdf(lat, lon, elev, mask, albedo, friction,
                                      sea_level, out,
-                                     target_land_frac=args.land_frac)
+                                     target_land_frac=args.land_frac,
+                                     seed=args.seed)
     print(f"[Topography] Wrote {out}")
 
 

@@ -68,11 +68,28 @@ def _ensure_topography(nlat, nlon, path=os.path.join("data", "topography.nc")):
     from qingdai_tpu import topography as topo
     from qingdai_tpu.io.ncdataset import Dataset
 
+    seed = int(os.environ.get("QD_SEED", "42"))
+    land_frac = float(os.environ.get("QD_TARGET_LAND_FRAC", "0.29"))
     if os.path.exists(path):
         try:
             with Dataset(path, "r") as ds:
                 ok = (len(ds["lat"][:]) == nlat and len(ds["lon"][:]) == nlon
                       and "elevation" in ds.variables)
+                # a grid-matching file generated under a DIFFERENT seed or
+                # land fraction must not be silently reused on a fresh SOP
+                # (files written before the generation_seed attr existed are
+                # reused as before — resume chains depend on that)
+                f_seed = getattr(ds, "generation_seed", None)
+                f_frac = getattr(ds, "target_land_fraction", None)
+            if ok and f_seed is not None and int(f_seed) != seed:
+                print(f"[Spinup] {path} was generated with seed {int(f_seed)}"
+                      f" but QD_SEED={seed}; regenerating.", flush=True)
+                ok = False
+            if ok and f_frac is not None and abs(float(f_frac) - land_frac) > 1e-6:
+                print(f"[Spinup] {path} targets land fraction {float(f_frac)}"
+                      f" but QD_TARGET_LAND_FRAC={land_frac}; regenerating.",
+                      flush=True)
+                ok = False
             if ok:
                 return path
         except (OSError, KeyError):
@@ -81,15 +98,13 @@ def _ensure_topography(nlat, nlon, path=os.path.join("data", "topography.nc")):
     lat = np.linspace(-90, 90, nlat)
     lon = np.linspace(0, 360, nlon)
     lon_mesh, lat_mesh = np.meshgrid(lon, lat)
-    seed = int(os.environ.get("QD_SEED", "42"))
-    land_frac = float(os.environ.get("QD_TARGET_LAND_FRAC", "0.29"))
     elev = topo.generate_elevation_map(lat_mesh, lon_mesh, seed=seed)
     mask, sea_level = topo.create_land_sea_mask_from_elevation(
         elev, lat_mesh, target_land_frac=land_frac)
     albedo, friction = topo.generate_base_properties(mask, elev, lat_mesh)
     topo.export_topography_to_netcdf(lat, lon, elev, mask, albedo, friction,
                                      sea_level, path,
-                                     target_land_frac=land_frac)
+                                     target_land_frac=land_frac, seed=seed)
     return path
 
 
@@ -117,7 +132,15 @@ def run_phase(name, years, env, chunk_days=10, verbose_every=50):
     spd = int(round(world.model.day_seconds / world.model.dt))
     chunk = spd * chunk_days
     total_steps = int(round(years * T_PLANET / world.model.dt))
-    n_chunks = max(1, total_steps // chunk)
+    # nearest whole chunk, min 1: floor silently under-ran by up to a chunk,
+    # and a sub-chunk smoke request should not silently run a full chunk
+    # without saying so
+    n_chunks = max(1, int(round(total_steps / chunk)))
+    actual_years = n_chunks * chunk * world.model.dt / T_PLANET
+    if abs(actual_years - years) / max(years, 1e-12) > 1e-6:
+        print(f"[Spinup:{name}] requested {years} yr rounds to {n_chunks} "
+              f"whole {chunk_days}-day chunks = {actual_years:.4f} yr",
+              flush=True)
 
     print(f"[Spinup:{name}] {years} yr = {n_chunks} chunks x {chunk} steps "
           f"(grid {cfg.run.n_lat}x{cfg.run.n_lon}, MLD={cfg.ocean.H_m} m, "

@@ -157,3 +157,57 @@ def test_sidecar_resume_heals_host_clock(tiny_env):
     assert wB.restore_source == "sidecar"
     assert wB.t_seconds == float(np.asarray(jax.device_get(
         wB.state.clock.t_seconds)))
+
+
+def test_drifted_device_clock_does_not_evict_sidecar(tiny_env, monkeypatch):
+    """The staleness guard anchors on the sidecar's f64 host-epoch stamp,
+    NOT the in-state f32 device clock: that clock accumulates t+dt per step
+    and drifts by ~1e4 s per sim-day at epoch ~1e9 s, which used to make
+    every long-run sidecar look stale and silently degrade 'bit-exact
+    resume' to the NetCDF-only path."""
+    import dataclasses
+    import jax.numpy as jnp
+    from qingdai_tpu.world import QingdaiWorld
+    from qingdai_tpu.io import checkpoint as ckpt
+
+    wA = QingdaiWorld.create_default()
+    wA.verbose = False
+    wA.step_chunk(10)
+    wA.autosave()
+    t_true = wA.t_seconds
+
+    real_load = ckpt.load_checkpoint
+
+    def drifted_load(path, template):
+        st = real_load(path, template)
+        # simulate f32 accumulation drift far beyond the 2*dt tolerance
+        return dataclasses.replace(st, clock=dataclasses.replace(
+            st.clock, t_seconds=jnp.asarray(
+                float(np.asarray(st.clock.t_seconds)) - 9000.0,
+                st.clock.t_seconds.dtype)))
+
+    monkeypatch.setattr(ckpt, "load_checkpoint", drifted_load)
+    wB = QingdaiWorld.create_default()
+    wB.verbose = False
+    assert wB.restore_source == "sidecar"
+    assert wB.t_seconds == pytest.approx(t_true)
+    # the restored device clock is reset to the true epoch, not the drifted one
+    assert float(np.asarray(wB.state.clock.t_seconds)) == pytest.approx(
+        t_true, abs=1.0)
+
+
+def test_stale_meta_stamp_rejects_sidecar(tiny_env):
+    """A sidecar whose host-epoch stamp disagrees with atmosphere.nc (torn
+    autosave set) is dropped in favor of the NetCDF fields."""
+    from qingdai_tpu.world import QingdaiWorld
+    from qingdai_tpu.io import checkpoint as ckpt
+
+    wA = QingdaiWorld.create_default()
+    wA.verbose = False
+    wA.step_chunk(10)
+    wA.autosave()
+    ckpt.save_checkpoint_meta(os.path.join("data", "world_ckpt"),
+                              wA.t_seconds + 7200.0)
+    wB = QingdaiWorld.create_default()
+    wB.verbose = False
+    assert wB.restore_source == "netcdf"
