@@ -341,3 +341,48 @@ def test_small_function_parity_batch(ref_path, rng, monkeypatch):
         np.testing.assert_allclose(np.asarray(db), da, rtol=1e-10)
         np.testing.assert_allclose(np.asarray(lsb), lsa, rtol=1e-8, atol=1e-8)
         np.testing.assert_allclose(np.asarray(lb), la, rtol=1e-8, atol=1e-8)
+
+
+def test_topography_loader_regrid_parity(ref_path, tmp_path, monkeypatch):
+    """NetCDF topography load + cyclic-longitude bilinear regrid vs the
+    reference loader (topography.py:428-575), on both the exact-match and
+    the regrid path (24x48 file -> 19x36 grid). The reference's
+    function-local `from netCDF4 import Dataset` is satisfied by aliasing
+    the h5py shim as a netCDF4 module."""
+    import types
+    import jax.numpy as jnp
+    from qingdai_tpu import topography as topo
+    from qingdai_tpu.io import ncdataset
+
+    monkeypatch.setitem(sys.modules, "netCDF4",
+                        types.SimpleNamespace(Dataset=ncdataset.Dataset))
+    from pygcm.grid import SphericalGrid
+    from pygcm import topography as ref_topo
+
+    # one seeded planet exported in the reference-compatible layout
+    Hs, Ws = 24, 48
+    lat_s = np.linspace(-90, 90, Hs)
+    lon_s = np.linspace(0, 360, Ws)
+    lon_m, lat_m = np.meshgrid(lon_s, lat_s)
+    elev = topo.generate_elevation_map(lat_m, lon_m, seed=11)
+    mask, sea = topo.create_land_sea_mask_from_elevation(elev, lat_m)
+    alb, fric = topo.generate_base_properties(mask, elev, lat_m)
+    path = str(tmp_path / "topo.nc")
+    topo.export_topography_to_netcdf(lat_s, lon_s, elev, mask, alb, fric,
+                                     sea, path, seed=11)
+
+    for Ht, Wt in ((Hs, Ws), (19, 36)):        # exact match, then regrid
+        ref_grid = SphericalGrid(n_lat=Ht, n_lon=Wt)
+        e_r, m_r, a_r, f_r = ref_topo.load_topography_from_netcdf(
+            path, ref_grid)
+        lat_t = np.linspace(-90, 90, Ht)
+        lon_t = np.linspace(0, 360, Wt)
+        e_g, m_g, a_g, f_g = topo.load_topography_from_netcdf(
+            path, lat_t, lon_t)
+        np.testing.assert_allclose(np.asarray(e_g), e_r, rtol=1e-5,
+                                   atol=1e-3, err_msg=f"elev {Ht}x{Wt}")
+        np.testing.assert_array_equal(np.asarray(m_g), m_r)
+        np.testing.assert_allclose(np.asarray(a_g), a_r, rtol=1e-5,
+                                   atol=1e-6)
+        np.testing.assert_allclose(np.asarray(f_g), f_r, rtol=1e-5,
+                                   atol=1e-9)
