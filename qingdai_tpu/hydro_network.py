@@ -51,21 +51,25 @@ def pit_fill(elev: np.ndarray, land_mask: np.ndarray, max_iters: int = 200,
     return e
 
 
-def _offset_distance(lat_deg: np.ndarray, dj: int, di: int, dlat_deg: float,
-                     dlon_deg: float) -> np.ndarray:
-    """Equirectangular distance per source row for a given D8 offset
-    (matches generate_hydrology_maps.spherical_distance)."""
+def _offset_distance(lat_deg: np.ndarray, lon_deg: np.ndarray, dj: int,
+                     di: int, dlat_deg: float) -> np.ndarray:
+    """Equirectangular distance [n_lat, n_lon] for a given D8 offset
+    (matches generate_hydrology_maps.spherical_distance, including the
+    duplicated 0/360 meridian: the reference grid's lon spans the full
+    circle inclusively, so the pure-lon seam step wraps to dlon = 0 exactly
+    and is skipped by the dist > 0 guard — same as the reference's
+    `if dist <= 0: continue`)."""
     R = const.PLANET_RADIUS
     lat1 = np.deg2rad(lat_deg)
     lat2 = np.deg2rad(np.clip(lat_deg + dj * dlat_deg, -90.0, 90.0))
     dlat = lat2 - lat1
-    dlon = np.deg2rad(di * dlon_deg)
-    if dlon > np.pi:
-        dlon -= 2 * np.pi
-    elif dlon < -np.pi:
-        dlon += 2 * np.pi
-    x = dlon * np.cos(0.5 * (lat1 + lat2))
-    return R * np.sqrt(x * x + dlat * dlat)
+    n_lon = lon_deg.size
+    idx = np.arange(n_lon)
+    dlon = np.deg2rad(lon_deg[(idx + di) % n_lon] - lon_deg[idx])
+    dlon = np.where(dlon > np.pi, dlon - 2 * np.pi, dlon)
+    dlon = np.where(dlon < -np.pi, dlon + 2 * np.pi, dlon)
+    x = dlon[None, :] * np.cos(0.5 * (lat1 + lat2))[:, None]
+    return R * np.sqrt(x * x + dlat[:, None] ** 2)
 
 
 def compute_flow_to_index(lat: np.ndarray, lon: np.ndarray, elev: np.ndarray,
@@ -73,7 +77,6 @@ def compute_flow_to_index(lat: np.ndarray, lon: np.ndarray, elev: np.ndarray,
     """Steepest-descent D8 downstream linear indices; −1 = ocean/terminal sink."""
     n_lat, n_lon = elev.shape
     dlat_deg = float(lat[1] - lat[0]) if n_lat > 1 else 1.0
-    dlon_deg = float(lon[1] - lon[0]) if n_lon > 1 else 1.0
     land = land_mask == 1
 
     jj = np.arange(n_lat)[:, None] * np.ones((1, n_lon), int)
@@ -86,7 +89,7 @@ def compute_flow_to_index(lat: np.ndarray, lon: np.ndarray, elev: np.ndarray,
     for dj, di in _OFFSETS:
         z_n = _shift(elev, dj, di, np.inf)          # inf → slope −inf at lat edges
         land_n = _shift(land.astype(np.int8), dj, di, -1)
-        dist = _offset_distance(lat, dj, di, dlat_deg, dlon_deg)[:, None]
+        dist = _offset_distance(lat, lon, dj, di, dlat_deg)
         valid = np.isfinite(z_n) & (dist > 0) & (land_n >= 0)
         slope = np.where(valid, (elev - z_n) / np.where(dist > 0, dist, 1.0), -np.inf)
         nj = jj + dj
