@@ -921,6 +921,11 @@ class SimConfig:
 
     @staticmethod
     def from_env() -> "SimConfig":
+        # refreeze the trace-time feature gates (QD_PALLAS_*, QD_SPMD_HALO,
+        # QD_FF_SUMS, ...) so they capture the env as it stands NOW — jit
+        # tracing happens after set-and-restore harnesses restore the env
+        from . import flags
+        flags.refresh()
         run = RunConfig.from_env()
         return SimConfig(
             run=run,

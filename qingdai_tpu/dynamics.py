@@ -73,16 +73,11 @@ def atmos_step(grid: Grid, cfg: SimConfig, static: StaticFields,
     kappa = max(1e-6, float(hcfg.rho_a)) * max(1.0, float(H_atm_a)) * dcfg.g
     q_entry = q
 
-    # 1) T_a proxy (dynamics.py:274)
-    T_a = 288.0 + (dcfg.g / 1004.0) * h
-
-    # Humidity physics (dynamics.py:283-297)
-    surf_factor = hum.surface_evaporation_factor(static.land_mask, h_ice, hcfg)
-    E_flux = hum.evaporation_flux(T_s, q, u, v, surf_factor, hcfg)
+    # 1) T_a proxy + humidity physics (dynamics.py:274,283-297) — the shared
+    # block world._bootstrap_flux_caches replays on NetCDF-only restarts
+    T_a, E_flux, M_col, P_cond, q_next = hum.humidity_block(
+        T_s, q, u, v, h, h_ice, static.land_mask, dt, hcfg, dcfg.g)
     LH = hcfg.L_v * E_flux
-    M_col = max(1e-6, float(hcfg.rho_a * hcfg.h_mbl))
-    q_evap = q + (E_flux / M_col) * dt
-    P_cond, q_next = hum.condensation(q_evap, T_a, dt, hcfg)
     LH_release = hcfg.L_v * P_cond
     q = jnp.clip(q_next, 0.0, 0.5)
     if audit:

@@ -205,8 +205,14 @@ def load_ocean(path) -> dict:
 
 
 def save_topography(path, grid_lat, grid_lon, land_mask, base_albedo,
-                    friction, elevation=None) -> None:
-    """Standardized topography.nc (run_simulation.py:126-159)."""
+                    friction, elevation=None, provenance=None) -> None:
+    """Standardized topography.nc (run_simulation.py:126-159).
+
+    ``provenance`` (dict of scalar attrs, e.g. ``generation_seed`` /
+    ``target_land_fraction`` / ``sea_level_m``) is stamped onto the file so
+    that re-exports keep the generation identity of the field they carry —
+    scripts/spinup.py's reuse guard keys on these attrs, and the engine
+    rewrites data/topography.nc on every build."""
     os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
     with Dataset(path, "w") as ds:
         ds.createDimension("lat", len(grid_lat))
@@ -225,6 +231,9 @@ def save_topography(path, grid_lat, grid_lon, land_mask, base_albedo,
         ds.setncattr("title", "Qingdai Topography")
         ds.setncattr("source", "qingdai_tpu")
         ds.setncattr("format", "v1")
+        for k, v in (provenance or {}).items():
+            if v is not None:
+                ds.setncattr(k, v)
 
 
 # ---------------------------------------------------------------------------

@@ -235,8 +235,8 @@ def _windowed_accumulate_spmd(fields, oj, oi, fj, fi, ms, ks, plan):
     mesh = plan.mesh
     if mesh is None or jax.device_count() <= 1:
         return None
-    import os
-    if os.getenv("QD_SPMD_HALO", "1") in ("0", "false"):
+    from .. import flags
+    if not flags.enabled("QD_SPMD_HALO"):
         return None  # A/B switch for the collective audit
     from jax import shard_map
     from jax.sharding import PartitionSpec as P
@@ -304,8 +304,8 @@ def _use_polar_matmul(plan) -> bool:
     Default OFF: the same-session A/B measured no gain (best-of 0.3408 vs
     0.3346 ms/step gather) — building the [R,W,W] selection tensor costs the
     bandwidth the gather saves (perf-notes 'Negative results')."""
-    import os
-    if os.getenv("QD_ADV_POLAR_MATMUL", "0") in ("0", "false"):
+    from .. import flags
+    if not flags.enabled("QD_ADV_POLAR_MATMUL"):
         return False
     try:
         return plan.mesh is None or jax.device_count() == 1

@@ -86,8 +86,8 @@ def advect_windowed_pallas(fields, dep_j, dep_i, ms, ks, interpret=False):
 
 def use_pallas_advect(fields_shape, dtype) -> bool:
     """Single-chip TPU, f32, and the working set fits VMEM comfortably."""
-    import os
-    if os.getenv("QD_PALLAS_ADVECT", "1") != "1":
+    from .. import flags
+    if not flags.enabled("QD_PALLAS_ADVECT"):
         return False
     if dtype != jnp.float32:
         return False

@@ -230,9 +230,9 @@ def use_pallas_ocean(cfg, plan, shape, dtype, n_sub, n_st):
     with no exact polar rows — and a VMEM-fitting working set.
     QD_PALLAS_OCEAN=interpret engages the interpreter on any backend (CPU
     parity tests)."""
-    import os
-    env = os.getenv("QD_PALLAS_OCEAN", "1").lower()
-    if env in ("0", "false"):
+    from .. import flags
+    env = flags.pallas_ocean_mode()
+    if env in ("0", "false", "no", "off"):
         return False, False
     interpret = env == "interpret"
     if not interpret:

@@ -73,8 +73,8 @@ def hyperdiffuse_pallas(F, k4_stack, dt, n_substeps, dlat, dlon, coslat, a,
 
 
 def use_pallas_hyper4(shape, dtype) -> bool:
-    import os
-    if os.getenv("QD_PALLAS_HYPER4", "1") != "1":
+    from .. import flags
+    if not flags.enabled("QD_PALLAS_HYPER4"):
         return False
     if dtype != jnp.float32:
         return False

@@ -79,11 +79,6 @@ def _ff_tree_axis_last(hi: jax.Array, lo: jax.Array):
 
 
 def sum_compensated(x: jax.Array) -> jax.Array:
-    import os
-    if os.getenv("QD_FF_SUMS", "1") in ("0", "false"):
-        # A/B bound on the float-float machinery's step cost (accuracy
-        # drops to plain-tree ~1e-6 relative — perf experiments only)
-        return jnp.sum(x), jnp.zeros((), x.dtype)
     """Float-float pairwise sum of all elements; returns (hi, lo) pair.
 
     Halve-and-TwoSum tree: log2(n) unrolled levels of vector ops, each
@@ -101,6 +96,11 @@ def sum_compensated(x: jax.Array) -> jax.Array:
     form measured ~35% slower per coupled step on TPU v5e together with the
     other SPMD-safe forms; tests/test_sharding_collectives.py runs on the
     8-device mesh so the SPMD property stays locked)."""
+    from .. import flags
+    if not flags.enabled("QD_FF_SUMS"):
+        # A/B bound on the float-float machinery's step cost (accuracy
+        # drops to plain-tree ~1e-6 relative — perf experiments only)
+        return jnp.sum(x), jnp.zeros((), x.dtype)
     if x.ndim == 0:
         return x, jnp.zeros_like(x)
     if x.size == 0:
@@ -247,8 +247,8 @@ def _median_pos_pallas(x: jax.Array, fallback: float) -> jax.Array:
 
 
 def _use_pallas_median() -> bool:
-    import os
-    if os.getenv("QD_PALLAS_MEDIAN", "1") != "1":
+    from .. import flags
+    if not flags.enabled("QD_PALLAS_MEDIAN"):
         return False
     try:
         # single-chip only: the VMEM-resident kernel ravels the field, which

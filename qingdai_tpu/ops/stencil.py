@@ -43,8 +43,8 @@ def _halo_pad_lon(f_l, halo, ax, n):
 def _spmd_ready(mesh, ax, W, halo):
     if mesh is None or jax.device_count() <= 1:
         return None
-    import os
-    if os.getenv("QD_SPMD_HALO", "1") in ("0", "false"):
+    from .. import flags
+    if not flags.enabled("QD_SPMD_HALO"):
         return None
     n = int(mesh.shape[ax])
     if n <= 1 or W % n != 0 or W // n < halo:

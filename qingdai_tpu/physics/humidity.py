@@ -48,3 +48,23 @@ def condensation(q, T_a, dt, cfg: HumidityConfig):
     P_cond = (excess / max(1e-6, float(cfg.tau_cond))) * M_col
     q_next = jnp.clip(q - (P_cond / M_col) * dt, 0.0, 0.5)
     return P_cond, q_next
+
+
+def humidity_block(T_s, q, u, v, h, h_ice, land_mask, dt, cfg: HumidityConfig,
+                   g: float):
+    """The one humidity sequence both the step and the restart bootstrap run
+    (reference dynamics.py:274-297): T_a proxy from h, bulk evaporation,
+    column uptake over M_col, supersaturation condensation.
+
+    Returns (T_a, E_flux, M_col, P_cond, q_next). Keeping this in one place
+    guarantees world._bootstrap_flux_caches recomputes exactly the fluxes
+    the next dynamics step would — the whole point of the warm-cache restart
+    (a divergent reimplementation would re-open the reference's one-step
+    restart deluge)."""
+    T_a = 288.0 + (g / 1004.0) * h
+    surf_factor = surface_evaporation_factor(land_mask, h_ice, cfg)
+    E_flux = evaporation_flux(T_s, q, u, v, surf_factor, cfg)
+    M_col = max(1e-6, float(cfg.rho_a * cfg.h_mbl))
+    q_evap = q + (E_flux / M_col) * dt
+    P_cond, q_next = condensation(q_evap, T_a, dt, cfg)
+    return T_a, E_flux, M_col, P_cond, q_next

@@ -80,10 +80,24 @@ class QingdaiWorld:
 
         # Topography: external NetCDF or procedural (run_simulation.py:1197-1226)
         elevation = None
+        # generation identity of the topography actually in force, re-stamped
+        # onto the data/topography.nc re-export below (scripts/spinup.py's
+        # seed/land-fraction reuse guard keys on these attrs)
+        topo_prov = {}
         if cfg.run.topo_nc and os.path.exists(cfg.run.topo_nc):
             try:
                 elevation, land_mask, base_albedo, friction = \
                     topo.load_topography_from_netcdf(cfg.run.topo_nc, self.lat, self.lon)
+                try:
+                    from .io.ncdataset import Dataset
+                    with Dataset(cfg.run.topo_nc, "r") as _ds:
+                        for k in ("generation_seed", "target_land_fraction",
+                                  "sea_level_m"):
+                            v = getattr(_ds, k, None)
+                            if v is not None:
+                                topo_prov[k] = float(v) if k != "generation_seed" else int(v)
+                except OSError:
+                    pass
                 self._log(f"[Topo] Loaded: {cfg.run.topo_nc}")
             except (OSError, ValueError, KeyError) as e:
                 self._log(f"[Topo] Failed to load '{cfg.run.topo_nc}': {e} — procedural fallback.")
@@ -97,18 +111,22 @@ class QingdaiWorld:
                     lat_mesh, lon_mesh, cfg.run.target_land_frac, cfg.run.seed)
                 elevation = None
                 base_albedo, friction = topo.generate_base_properties(land_mask)
+                topo_prov = {"generation_seed": int(cfg.run.seed),
+                             "target_land_fraction": float(cfg.run.target_land_frac)}
         else:
             land_mask, _elev_discarded = topo.create_land_sea_mask(
                 lat_mesh, lon_mesh, cfg.run.target_land_frac, cfg.run.seed)
             elevation = None
             base_albedo, friction = topo.generate_base_properties(land_mask)
+            topo_prov = {"generation_seed": int(cfg.run.seed),
+                         "target_land_fraction": float(cfg.run.target_land_frac)}
             area_w = np.maximum(np.cos(np.deg2rad(lat_mesh)), 0)
             frac = float((area_w * (land_mask == 1)).sum() / (area_w.sum() + 1e-15))
             self._log(f"[Topo] Procedural topography. Land fraction: {frac:.3f}")
         try:
             ncio.save_topography(os.path.join("data", "topography.nc"),
                                  self.lat, self.lon, land_mask, base_albedo,
-                                 friction, elevation)
+                                 friction, elevation, provenance=topo_prov)
         except OSError as e:
             self._log(f"[Topo] topography.nc write skipped: {e}")
 
@@ -309,14 +327,9 @@ class QingdaiWorld:
         cfg = self.cfg
         a = self.state.atmos
         hcfg = cfg.humidity
-        land_mask = jnp.asarray(self.land_mask)
-        surf = hum.surface_evaporation_factor(land_mask, a.h_ice, hcfg)
-        E_flux = hum.evaporation_flux(a.T_s, a.q, a.u, a.v, surf, hcfg)
-        T_a = 288.0 + (cfg.dynamics.g / 1004.0) * a.h
-        M_col = max(1e-6, float(hcfg.rho_a * hcfg.h_mbl))
-        dt = cfg.run.dt_seconds
-        q_evap = a.q + (E_flux / M_col) * dt
-        P_cond, _ = hum.condensation(q_evap, T_a, dt, hcfg)
+        _, E_flux, _, P_cond, _ = hum.humidity_block(
+            a.T_s, a.q, a.u, a.v, a.h, a.h_ice, jnp.asarray(self.land_mask),
+            cfg.run.dt_seconds, hcfg, cfg.dynamics.g)
         self.state = dataclasses.replace(
             self.state, atmos=dataclasses.replace(
                 a, E_flux_last=E_flux.astype(a.T_s.dtype),

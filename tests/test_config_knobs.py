@@ -83,3 +83,49 @@ def test_phyto_init_random(monkeypatch):
     # deterministic reproducibility for a fixed seed
     _, st_r1b, _ = build_phyto((13, 24), land, rnd, eco_cfg, 50.0, seed=1)
     np.testing.assert_array_equal(C1, np.asarray(st_r1b.C_phyto))
+
+
+def test_trace_time_gates_frozen_at_config_time(monkeypatch):
+    """The QD_PALLAS_*/QD_SPMD_HALO/QD_FF_SUMS gates are consulted while
+    TRACING, which happens after set-and-restore harnesses (bench.py
+    --ablate via __graft_entry__._build_world) have restored the env. The
+    gates must therefore read the snapshot frozen by SimConfig.from_env(),
+    not the live environment — before qingdai_tpu/flags.py the four
+    -pallas_* ablate rows silently measured the unmodified build."""
+    from qingdai_tpu import flags
+    from qingdai_tpu.config import SimConfig
+
+    monkeypatch.setenv("QD_PALLAS_MEDIAN", "0")
+    monkeypatch.setenv("QD_FF_SUMS", "off")      # word spellings count too
+    monkeypatch.setenv("QD_PALLAS_ADVECT", "yes")  # truthy words enable
+    SimConfig.from_env()
+    monkeypatch.delenv("QD_PALLAS_MEDIAN")
+    monkeypatch.delenv("QD_FF_SUMS")
+    monkeypatch.delenv("QD_PALLAS_ADVECT")
+    # env restored, snapshot must still carry the frozen values
+    assert not flags.enabled("QD_PALLAS_MEDIAN")
+    assert not flags.enabled("QD_FF_SUMS")
+    assert flags.enabled("QD_PALLAS_ADVECT")
+    SimConfig.from_env()                          # refreeze from clean env
+    assert flags.enabled("QD_PALLAS_MEDIAN")
+    assert flags.enabled("QD_FF_SUMS")
+
+
+def test_ff_sums_gate_switches_implementation(monkeypatch):
+    import jax
+    jax.config.update("jax_platforms", "cpu")
+    import jax.numpy as jnp
+    from qingdai_tpu import flags
+    from qingdai_tpu.ops.reductions import sum_compensated
+
+    x = jnp.asarray(np.random.default_rng(0).normal(size=257),
+                    jnp.float32)
+    hi, lo = sum_compensated(x)
+    assert float(abs(lo)) >= 0.0          # compensated path returns a pair
+    monkeypatch.setenv("QD_FF_SUMS", "0")
+    flags.refresh()
+    hi2, lo2 = sum_compensated(x)
+    assert float(lo2) == 0.0              # plain-sum fallback: no lo channel
+    np.testing.assert_allclose(float(hi2), float(hi), rtol=1e-5)
+    monkeypatch.delenv("QD_FF_SUMS")
+    flags.refresh()

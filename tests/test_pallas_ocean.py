@@ -7,11 +7,22 @@ import numpy as np
 import jax.numpy as jnp
 import pytest
 
+from qingdai_tpu import flags
 from qingdai_tpu.config import OceanConfig
 from qingdai_tpu.grid import make_grid
 from qingdai_tpu.ocean import ocean_step, static_substeps
 from qingdai_tpu.ops.advect import make_advect_plan
 from qingdai_tpu.state import OceanState
+
+
+@pytest.fixture(autouse=True)
+def _refreeze_flags():
+    """The gates read flags' frozen snapshot, not the live env; refreeze
+    after each monkeypatch.setenv and restore the defaults on teardown."""
+    yield
+    import os
+    os.environ.pop("QD_PALLAS_OCEAN", None)
+    flags.refresh()
 
 
 def _setup(seed, n_lat=19, n_lon=36, n_tracers=0):
@@ -35,6 +46,7 @@ def _setup(seed, n_lat=19, n_lon=36, n_tracers=0):
 def _run(monkeypatch, mode, cfg, setup, dt=300.0):
     grid, land, ocn, u_atm, v_atm, Q_net, ice, tracers = setup
     monkeypatch.setenv("QD_PALLAS_OCEAN", mode)
+    flags.refresh()
     n_sub = static_substeps(grid, cfg, dt)
     plan = make_advect_plan(
         grid.n_lat, grid.dlat_rad, grid.dlon_rad, dt / n_sub,
@@ -70,6 +82,7 @@ def test_pallas_ocean_gate_respects_nondefault_cadence(monkeypatch):
     kernel does not implement the cadenced filter)."""
     from qingdai_tpu.ops.pallas_ocean import use_pallas_ocean
     monkeypatch.setenv("QD_PALLAS_OCEAN", "interpret")
+    flags.refresh()
     plan = make_advect_plan(19, 0.17, 0.17, 300.0, 6.371e6,
                             np.maximum(np.cos(np.linspace(-1.5, 1.5, 19)),
                                        0.5), 3.0)

@@ -161,3 +161,42 @@ def test_step_chunk_day_alignment_selection(tiny_env, monkeypatch):
             w2.state.clock, accum_t_day=jnp.asarray(7200.0, jnp.float32)))
     w2.step_chunk(spd)
     assert w2._chunk_key == (spd, False)
+
+
+def test_topography_reexport_preserves_generation_identity(tiny_env, monkeypatch):
+    """The engine rewrites data/topography.nc on every build; the re-export
+    must carry the generation_seed / target_land_fraction attrs of the field
+    it actually holds — scripts/spinup.py's reuse guard keys on them, and a
+    re-export that drops them would let a fresh SOP with a different QD_SEED
+    silently reuse the old topography."""
+    import numpy as np
+    from qingdai_tpu import topography as topo
+    from qingdai_tpu.io.ncdataset import Dataset
+    from qingdai_tpu.world import QingdaiWorld
+
+    lat = np.linspace(-90, 90, 13)
+    lon = np.linspace(0, 360, 24)
+    lon_m, lat_m = np.meshgrid(lon, lat)
+    elev = topo.generate_elevation_map(lat_m, lon_m, seed=7)
+    mask, sea = topo.create_land_sea_mask_from_elevation(
+        elev, lat_m, target_land_frac=0.31)
+    alb, fric = topo.generate_base_properties(mask, elev, lat_m)
+    topo.export_topography_to_netcdf(lat, lon, elev, mask, alb, fric, sea,
+                                     "source_topo.nc",
+                                     target_land_frac=0.31, seed=7)
+    monkeypatch.setenv("QD_TOPO_NC", "source_topo.nc")
+    w = QingdaiWorld.create_default()
+    w.verbose = False
+    with Dataset(os.path.join("data", "topography.nc"), "r") as ds:
+        assert int(getattr(ds, "generation_seed")) == 7
+        assert abs(float(getattr(ds, "target_land_fraction")) - 0.31) < 1e-6
+
+    # procedural path: the engine stamps its own cfg seed/fraction
+    monkeypatch.delenv("QD_TOPO_NC")
+    monkeypatch.setenv("QD_SEED", "11")
+    os.remove(os.path.join("data", "topography.nc"))
+    os.remove("source_topo.nc")
+    w2 = QingdaiWorld.create_default()
+    w2.verbose = False
+    with Dataset(os.path.join("data", "topography.nc"), "r") as ds:
+        assert int(getattr(ds, "generation_seed")) == 11
