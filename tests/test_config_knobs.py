@@ -129,3 +129,25 @@ def test_ff_sums_gate_switches_implementation(monkeypatch):
     np.testing.assert_allclose(float(hi2), float(hi), rtol=1e-5)
     monkeypatch.delenv("QD_FF_SUMS")
     flags.refresh()
+
+
+def test_build_world_extra_env_reaches_trace_time_gates(monkeypatch):
+    """bench.py --ablate disables kernels via _build_world(extra_env=...),
+    which restores the env before the jit trace runs — the frozen snapshot
+    must still carry the ablate value at trace time (the exact path that
+    silently measured the unmodified build before flags.py)."""
+    import sys
+    sys.path.insert(0, "/root/repo")
+    from qingdai_tpu import flags
+    from __graft_entry__ import _build_world
+
+    mdl, state = _build_world(13, 24, with_network=False,
+                              extra_env={"QD_FF_SUMS": "0",
+                                         "QD_PALLAS_MEDIAN": "0"})
+    import os
+    assert os.environ.get("QD_FF_SUMS") is None          # env restored...
+    assert not flags.enabled("QD_FF_SUMS")               # ...snapshot kept
+    assert not flags.enabled("QD_PALLAS_MEDIAN")
+    from qingdai_tpu.config import SimConfig
+    SimConfig.from_env()
+    assert flags.enabled("QD_FF_SUMS")
