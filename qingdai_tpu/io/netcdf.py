@@ -25,6 +25,7 @@ import json
 import os
 import shutil
 import time
+from contextlib import contextmanager
 from typing import Optional
 
 import numpy as np
@@ -36,6 +37,26 @@ def _np(x):
     return np.asarray(x)
 
 
+@contextmanager
+def _atomic_nc(path):
+    """Crash-safe NetCDF write: build the file as a hidden sibling tmp and
+    os.replace it into place, so a SIGKILL/power-cut mid-write leaves the
+    previous checkpoint intact instead of a torn file that makes every
+    subsequent startup fail to load (the ecology autosave already wrote
+    this way; restart/ocean/topography now do too)."""
+    tmp = os.path.join(os.path.dirname(path) or ".",
+                       "." + os.path.basename(path) + ".tmp")
+    try:
+        yield tmp
+        os.replace(tmp, path)
+    finally:
+        if os.path.exists(tmp):
+            try:
+                os.remove(tmp)
+            except OSError:
+                pass
+
+
 # ---------------------------------------------------------------------------
 # Restart (atmosphere.nc)
 # ---------------------------------------------------------------------------
@@ -45,7 +66,7 @@ def save_restart(path, grid_lat, grid_lon, state, land_mask,
     """Write the minimal prognostic state (reference schema, f4 fields)."""
     os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
     atmos, ocean, land = state.atmos, state.ocean, state.land
-    with Dataset(path, "w") as ds:
+    with _atomic_nc(path) as tmp, Dataset(tmp, "w") as ds:
         nlat, nlon = len(grid_lat), len(grid_lon)
         ds.createDimension("lat", nlat)
         ds.createDimension("lon", nlon)
@@ -86,7 +107,7 @@ def save_restart_fields(path, grid_lat, grid_lon, fields: dict,
     """save_restart variant over a plain {name: 2-D array} dict (used by the
     offline regrid tool, scripts/regrid_restart.py)."""
     os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
-    with Dataset(path, "w") as ds:
+    with _atomic_nc(path) as tmp, Dataset(tmp, "w") as ds:
         ds.createDimension("lat", len(grid_lat))
         ds.createDimension("lon", len(grid_lon))
         ds.createVariable("lat", "f4", ("lat",))[:] = _np(grid_lat)
@@ -167,7 +188,7 @@ def apply_restart_to_state(state, rst, has_ocean=True):
 def save_ocean(path, grid_lat, grid_lon, ocean, day_value=None) -> bool:
     try:
         os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
-        with Dataset(path, "w") as ds:
+        with _atomic_nc(path) as tmp, Dataset(tmp, "w") as ds:
             ds.createDimension("lat", len(grid_lat))
             ds.createDimension("lon", len(grid_lon))
             ds.createVariable("lat", "f4", ("lat",))[:] = _np(grid_lat)
@@ -214,7 +235,7 @@ def save_topography(path, grid_lat, grid_lon, land_mask, base_albedo,
     scripts/spinup.py's reuse guard keys on these attrs, and the engine
     rewrites data/topography.nc on every build."""
     os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
-    with Dataset(path, "w") as ds:
+    with _atomic_nc(path) as tmp, Dataset(tmp, "w") as ds:
         ds.createDimension("lat", len(grid_lat))
         ds.createDimension("lon", len(grid_lon))
         ds.createVariable("lat", "f4", ("lat",))[:] = _np(grid_lat)
@@ -498,7 +519,7 @@ def save_plankton_nc(path, grid_lat, grid_lon, phyto_state, ps, bands,
     """Gridded distributions (phyto.py:737-802)."""
     try:
         os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
-        with Dataset(path, "w") as ds:
+        with _atomic_nc(path) as tmp, Dataset(tmp, "w") as ds:
             NL, NM = len(grid_lat), len(grid_lon)
             ds.createDimension("lat", NL)
             ds.createDimension("lon", NM)

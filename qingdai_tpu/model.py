@@ -64,6 +64,15 @@ class Model:
     adv_plan_ocean: Optional[AdvectPlan] = None
     adv_plan_phyto: Optional[AdvectPlan] = None
     day_seconds: float = const.DAY_SECONDS
+    # initial subsystem states from the SAME build_* calls that produced the
+    # statics — init_world reuses them so the random species-mode draw can
+    # never diverge between EcoStatic and EcoState (build_eco with
+    # QD_ECO_RAND_SEED unset draws fresh OS entropy per call), and the
+    # band/genome/LAI construction runs once per build instead of twice
+    eco_state0: Optional[eco_mod.EcoState] = None
+    indiv_state0: Optional[indiv_mod.IndivState] = None
+    phyto_state0: Optional[phyto_mod.PhytoState] = None
+    build_dtype: Optional[object] = None
 
 
 def build_model(cfg: SimConfig, land_mask, base_albedo, friction,
@@ -86,14 +95,15 @@ def build_model(cfg: SimConfig, land_mask, base_albedo, friction,
     )
 
     eco_static = indiv_static = phyto_static = routing_static = None
+    eco_state0 = indiv_state0 = phyto_state0 = None
     if cfg.ecology.enabled:
         eco_static, eco_state0, _, _ = eco_mod.build_eco(grid.shape, land_mask,
                                                          cfg.ecology, dtype)
         if cfg.ecology.indiv_enable:
-            indiv_static, _ = indiv_mod.build_individuals(
+            indiv_static, indiv_state0 = indiv_mod.build_individuals(
                 grid.shape, land_mask, eco_static, eco_state0, cfg.ecology, dtype)
     if cfg.phyto.enabled:
-        phyto_static, _, _ = phyto_mod.build_phyto(
+        phyto_static, phyto_state0, _ = phyto_mod.build_phyto(
             grid.shape, land_mask, cfg.phyto, cfg.ecology, cfg.ocean.H_m, dtype)
     if cfg.hydrology.routing_enable and network is not None:
         from .routing import build_routing_static
@@ -125,7 +135,9 @@ def build_model(cfg: SimConfig, land_mask, base_albedo, friction,
                   phyto_static=phyto_static, routing_static=routing_static,
                   n_ocean_substeps=n_sub, dt=dt,
                   adv_plan_atmos=plan_atmos, adv_plan_ocean=plan_ocean,
-                  adv_plan_phyto=plan_phyto)
+                  adv_plan_phyto=plan_phyto,
+                  eco_state0=eco_state0, indiv_state0=indiv_state0,
+                  phyto_state0=phyto_state0, build_dtype=dtype)
     return model
 
 
@@ -143,17 +155,29 @@ def init_world(model: Model, t0_seconds: float = 0.0, seed: int = 42,
 
     eco_state = indiv_state = phyto_state = routing_state = None
     eco_static = model.eco_static
+    same_dtype = model.build_dtype == dtype
     if eco_static is not None:
-        _, eco_state, _, _ = eco_mod.build_eco(grid.shape, model.static.land_mask,
-                                               cfg.ecology, dtype)
-        if model.indiv_static is not None:
-            _, indiv_state = indiv_mod.build_individuals(
-                grid.shape, model.static.land_mask, eco_static, eco_state,
-                cfg.ecology, dtype)
+        if model.eco_state0 is not None and same_dtype:
+            # the state from the SAME build_eco call as eco_static — the
+            # random species-mode draw must not be redrawn here
+            eco_state = model.eco_state0
+            indiv_state = model.indiv_state0
+        else:
+            _, eco_state, _, _ = eco_mod.build_eco(
+                grid.shape, model.static.land_mask, cfg.ecology, dtype)
+            if model.indiv_static is not None:
+                _, indiv_state = indiv_mod.build_individuals(
+                    grid.shape, model.static.land_mask, eco_static, eco_state,
+                    cfg.ecology, dtype)
     if model.phyto_static is not None:
-        _, phyto_state, _ = phyto_mod.build_phyto(
-            grid.shape, model.static.land_mask, cfg.phyto, cfg.ecology,
-            cfg.ocean.H_m, dtype, seed=seed)
+        if (model.phyto_state0 is not None and same_dtype
+                and not cfg.phyto.init_random):
+            phyto_state = model.phyto_state0
+        else:
+            # QD_PHYTO_INIT_RANDOM draws from the caller's seed
+            _, phyto_state, _ = phyto_mod.build_phyto(
+                grid.shape, model.static.land_mask, cfg.phyto, cfg.ecology,
+                cfg.ocean.H_m, dtype, seed=seed)
     if model.routing_static is not None:
         routing_state = init_routing_state(model.routing_static, dtype)
 

@@ -11,6 +11,14 @@ the ~n_land cells total instead of n_levels full-grid scatter passes. Lake
 pass-through (routing.py:269-287) is folded into a per-cell effective
 downstream index computed once at build time.
 
+The levels are computed at build time over the EFFECTIVE graph (lake
+redirects included, flow_order-backward stranding edges excluded — what
+remains is forward-in-flow_order, hence acyclic), so the level-parallel
+invariant holds for every propagating edge. Raw-D8 file levels are not
+enough: a Kahn flow_order can place a lake's outlet forward of the lake at
+an equal-or-lower raw level, and the reference's sequential loop propagates
+that mass (tests/test_routing.py::test_kahn_order_lake_outlet_not_level_forward).
+
 Mass conventions match the reference exactly: buffers in kg, fluxes in
 kg m⁻² s⁻¹, flow_accum in kg/s over the event window.
 """
@@ -104,7 +112,8 @@ def build_routing_static(net: dict, grid: Grid, dtype=jnp.float32) -> RoutingSta
     land = net["land_mask"].ravel().astype(bool)
     n_cells = land.size
     flow_to = np.asarray(net["flow_to_index"]).ravel().astype(np.int64)
-    level = np.asarray(net["flow_level"]).ravel().astype(np.int32)
+    # net["flow_level"] (raw-D8 levels) is deliberately NOT used: the kernel
+    # needs levels of the effective graph, computed below
     lake_id = np.asarray(net["lake_id"]).ravel().astype(np.int32)
     lake_mask = np.asarray(net["lake_mask"]).ravel().astype(bool)
     n_lakes = int(net.get("n_lakes", 0))
@@ -138,13 +147,45 @@ def build_routing_static(net: dict, grid: Grid, dtype=jnp.float32) -> RoutingSta
     else:
         frac = np.zeros(1)
 
+    # Stranding edges per the reference's own flow_order positions: a cell
+    # whose effective downstream sits EARLIER in flow_order adds its mass to
+    # an already-processed cell in the reference's sequential loop, so the
+    # mass never moves again (routing.py:261-298 as-run). Determine them on
+    # the full grid first — the level structure below must be built WITHOUT
+    # them or the graph may be cyclic (lake→outlet edges are not DAG edges).
+    from .hydro_network import topo_levels
+    fo = net.get("flow_order")
+    if fo is None:
+        # synthetic dicts without a flow_order: a level-sorted order of the
+        # RAW D8 DAG is a valid topological order for the non-lake edges
+        raw_level, _ = topo_levels(flow_to, land.astype(np.uint8))
+        li = np.nonzero(land)[0]
+        fo = li[np.argsort(raw_level[li], kind="stable")]
+    fo = np.asarray(fo).astype(np.int64).ravel()
+    order_pos = np.full(n_cells, -1, np.int64)
+    order_pos[fo] = np.arange(fo.size)
+    cell_idx = np.arange(n_cells)
+    is_cell_edge_full = land & (eff >= 0)
+    backward_full = is_cell_edge_full & (
+        order_pos[np.clip(eff, 0, n_cells - 1)] < order_pos[cell_idx])
+
+    # Levels of the EFFECTIVE propagating graph (lake redirects included,
+    # stranding edges excluded — what remains is forward-in-flow_order and
+    # therefore acyclic). The raw-D8 flow_level from the network file is NOT
+    # sufficient: a lake→outlet edge that is forward in a Kahn flow_order
+    # can still land on an equal-or-lower RAW level (Kahn pop position is
+    # not level-monotone), and a level pass built on raw levels would
+    # silently strand mass the reference's sequential loop propagates.
+    eff_dag = np.where(backward_full, OCEAN, eff)
+    level, n_levels = topo_levels(eff_dag, land.astype(np.uint8))
+    level = level.astype(np.int64)
+
     # level-sorted compaction: cells grouped by level with static boundaries
     land_idx = np.nonzero(land)[0]
     lvl_land = level[land_idx]
     sort = np.argsort(lvl_land, kind="stable")
     order = land_idx[sort].astype(np.int32)
     lvl_sorted = lvl_land[sort]
-    n_levels = int(net["n_levels"])
     starts = tuple(int(x) for x in np.searchsorted(lvl_sorted,
                                                    np.arange(n_levels + 1)))
     dn_ordered = eff[order]
@@ -158,16 +199,9 @@ def build_routing_static(net: dict, grid: Grid, dtype=jnp.float32) -> RoutingSta
     dn_pos_ordered = inv_pos[np.clip(dn_ordered, 0, n_cells - 1)]
     dn_pos_ordered[to_ocean_ordered | to_store_ordered] = 0
 
-    # backward edges per the reference's own flow_order positions (mass along
-    # them strands; see RoutingStatic.backward_ordered)
-    # fallback when a synthetic dict lacks flow_order: the level-sorted order
-    # is itself a valid topological order for the non-lake edges
-    fo = np.asarray(net.get("flow_order", order)).astype(np.int64).ravel()
-    order_pos = np.full(n_cells, -1, np.int64)
-    order_pos[fo] = np.arange(fo.size)
-    is_cell_edge = ~(to_ocean_ordered | to_store_ordered)
-    backward_ordered = is_cell_edge & (
-        order_pos[np.clip(dn_ordered, 0, n_cells - 1)] < order_pos[order])
+    # stranding edges in the level-sorted view (computed full-grid above,
+    # before the effective-level construction)
+    backward_ordered = backward_full[order]
     dn_pos_ordered[backward_ordered] = 0
 
     return RoutingStatic(

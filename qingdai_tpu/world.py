@@ -179,13 +179,27 @@ class QingdaiWorld:
         # Restart priority: QD_RESTART_IN > autosave > banded init
         # (run_simulation.py:1433-1590)
         used_autosave = False
+        autosave_nc_bad = False
         if cfg.run.restart_in and os.path.exists(cfg.run.restart_in):
+            # an explicit QD_RESTART_IN that cannot be read should stop the
+            # run loudly — resuming cold from a typo'd path would silently
+            # discard the run the user asked to continue
             rst = ncio.load_restart(cfg.run.restart_in)
             self._log(f"[Restart] Loaded state from '{cfg.run.restart_in}'.")
         elif cfg.run.autosave_load and os.path.exists(os.path.join("data", "atmosphere.nc")):
-            rst = ncio.load_restart(os.path.join("data", "atmosphere.nc"))
-            used_autosave = True
-            self._log("[Autosave] Loaded checkpoint from 'data/atmosphere.nc'.")
+            try:
+                rst = ncio.load_restart(os.path.join("data", "atmosphere.nc"))
+                used_autosave = True
+                self._log("[Autosave] Loaded checkpoint from 'data/atmosphere.nc'.")
+            except Exception as e:
+                # writes are atomic (io/netcdf._atomic_nc) so a torn file
+                # means external damage — don't crash every startup on it;
+                # the full-pytree sidecar below can still rescue the resume
+                rst = None
+                autosave_nc_bad = True
+                used_autosave = True
+                self._warn(f"[Autosave] 'data/atmosphere.nc' unreadable "
+                           f"({e}); trying the full-pytree sidecar.")
         if rst is not None and rst.get("t_seconds") is not None:
             t0 = float(rst["t_seconds"])
         # NOTE: a restart saved at exactly t=0.0 still falls into the
@@ -278,7 +292,9 @@ class QingdaiWorld:
                           else float(np.asarray(restored.clock.t_seconds)))
                 tol = 2.0 * self.model.dt + 2.0 * abs(np.spacing(
                     np.float32(max(abs(t0), 1.0))))
-                if abs(t_ckpt - t0) <= tol:
+                # with a torn atmosphere.nc there is no NetCDF instant to
+                # compare against — the sidecar IS the checkpoint
+                if autosave_nc_bad or abs(t_ckpt - t0) <= tol:
                     # reset the restored device clock's bookkeeping scalar to
                     # the exact epoch so inherited f32 drift does not compound
                     # across resume chains (phases carry the physics clock)
@@ -304,6 +320,9 @@ class QingdaiWorld:
             except Exception as e:
                 self._warn(f"[Autosave] full-pytree restore failed ({e}); "
                            "continuing from the NetCDF fields.")
+        if autosave_nc_bad and self.restore_source == "cold":
+            self._warn("[Autosave] no usable checkpoint (atmosphere.nc "
+                       "unreadable, sidecar absent/failed) — cold start.")
         if rst is not None and self.restore_source == "netcdf":
             if self.cfg.run.restart_warm_caches:
                 self._bootstrap_flux_caches()
@@ -422,7 +441,17 @@ class QingdaiWorld:
         self._io_futures = []
 
     def autosave(self):
-        """Synchronous autosave (signal handlers, end of run)."""
+        """Synchronous autosave (signal handlers, end of run). Joins any
+        in-flight async autosave first — both paths write the same files
+        (and the same atomic tmp siblings), so two concurrent truncating
+        writers would tear the checkpoint set at shutdown, exactly when it
+        matters most."""
+        f = self._autosave_future
+        if f is not None and not f.done():
+            try:
+                f.result(timeout=60.0)
+            except Exception as e:  # incl. TimeoutError: write anyway, loudly
+                self._warn(f"[Autosave] in-flight async save not joined: {e}")
         self._write_autosave(jax.device_get(self.state), self.t_seconds)
 
     def _write_autosave(self, state, t_seconds):
@@ -636,20 +665,33 @@ class QingdaiWorld:
         self._print_diags_host(jax.device_get(diags), step0)
 
     def _print_diags_host(self, diags, step0: int):
-        """Reference-tagged diagnostics at ~200-step cadence from the stacked
-        per-step scalars (SURVEY.md §5.5); ``diags`` already on host."""
+        """Reference-tagged diagnostics from the stacked per-step scalars
+        (SURVEY.md §5.5); ``diags`` already on host. Cadence is the
+        reference's hardcoded 200 steps for the atmosphere/water tags
+        (run_simulation.py:2150,2273,2350), with the per-subsystem env gates
+        honored (QD_ENERGY_DIAG/QD_HUMIDITY_DIAG/QD_WATER_DIAG); the ocean
+        tags run at QD_OCEAN_DIAG_EVERY."""
+        cfg = self.cfg
+        ocean_every = max(1, int(cfg.ocean.diag_every))
         n = len(diags["Ts_mean"])
         for i in range(n):
             gstep = step0 + i
-            if gstep % 200 != 0:
+            main = gstep % 200 == 0
+            ocean_tick = gstep % ocean_every == 0
+            if not (main or ocean_tick):
                 continue
             d = {k: float(v[i]) for k, v in diags.items()}
-            print(f"[EnergyDiag] TOA_net={d['TOA_net']:.2f} W/m^2 | "
-                  f"SFC_net={d['SFC_net']:.2f} | ATM_net={d['ATM_net']:.2f} | "
-                  f"<Ts>={d['Ts_mean']:.2f} K")
-            print(f"[HumidityDiag] ⟨E⟩={d['E_mean']:.3e} kg/m^2/s | "
-                  f"⟨LH⟩={d['LH_mean']:.2f} W/m^2 | "
-                  f"⟨LH_release⟩={d['LH_release_mean']:.2f} W/m^2")
+            if not main:
+                self._print_ocean_diags(d)
+                continue
+            if cfg.energy.diag:
+                print(f"[EnergyDiag] TOA_net={d['TOA_net']:.2f} W/m^2 | "
+                      f"SFC_net={d['SFC_net']:.2f} | ATM_net={d['ATM_net']:.2f} | "
+                      f"<Ts>={d['Ts_mean']:.2f} K")
+            if cfg.humidity.diag:
+                print(f"[HumidityDiag] ⟨E⟩={d['E_mean']:.3e} kg/m^2/s | "
+                      f"⟨LH⟩={d['LH_mean']:.2f} W/m^2 | "
+                      f"⟨LH_release⟩={d['LH_release_mean']:.2f} W/m^2")
             t_now = (self.t0_seconds + (gstep + 1) * self.model.dt)
             msg = (f"[WaterDiag] ⟨E⟩={d['E_mean']:.3e} kg/m^2/s | "
                    f"⟨P⟩={d['P_mean']:.3e} | ⟨R⟩={d['R_mean']:.3e} | "
@@ -663,7 +705,8 @@ class QingdaiWorld:
                     resid = ddt - (d["E_mean"] - d["P_mean"] - d["R_mean"])
                     msg += (f" | d/dt Σ={ddt:.3e} vs (E−P−R) -> residual={resid:.3e}")
             self._hydro_prev = (t_now, d["total_reservoir_mean"])
-            print(msg)
+            if cfg.hydrology.diag:
+                print(msg)
             if "dyn_var_u_pre" in d:
                 print(f"[DynDiag] hyper4 applied: "
                       f"Var(u) {d['dyn_var_u_pre']:.3e}->{d['dyn_var_u_post']:.3e}, "
@@ -679,36 +722,41 @@ class QingdaiWorld:
                 print(f"[PhytoDiag] ⟨Chl_tot⟩={d['chl_mean']:.3f} mg/m^3 | "
                       f"⟨Kd490⟩={d['kd490_mean']:.3f} m^-1 | "
                       f"⟨α_water⟩={d['alpha_water_mean']:.3f}")
-            if "ocean_KE_mean" in d and self.cfg.ocean.diag:
-                # gated by QD_OCEAN_DIAG like the reference
-                # (run_simulation.py:2264)
-                print(f"[OceanDiag] KE_mean={d['ocean_KE_mean']:.3e} m2/s2 | "
-                      f"Umax={d['ocean_U_max']:.2f} m/s")
-            if "oceanE_Q_mean" in d:
-                # implied ρc_pH·dT/dt vs effective Q_net (ocean.py:446-516);
-                # like the reference, dT spans the diag interval but is
-                # divided by a single step dt
-                oc = self.cfg.ocean
-                rhoCpH = oc.rho_w * oc.cp_w * oc.H_m
-                if self._oceanE_prev is None:
-                    implied = resid = implied_p = resid_p = 0.0
-                else:
-                    implied = rhoCpH * (d["oceanE_sst_mean"]
-                                        - self._oceanE_prev[0]) / self.model.dt
-                    implied_p = rhoCpH * (d["oceanE_sstp_mean"]
-                                          - self._oceanE_prev[1]) / self.model.dt
-                    resid = implied - d["oceanE_Q_mean"]
-                    resid_p = implied_p - d["oceanE_Qp_mean"]
-                self._oceanE_prev = (d["oceanE_sst_mean"], d["oceanE_sstp_mean"])
-                print(f"[OceanE] ⟨Q_net⟩={d['oceanE_Q_mean']:+.2f} W/m^2 | "
-                      f"implied={implied:+.2f} | resid={resid:+.2f}  "
-                      f"|| Polar(|lat|>={int(oc.polar_lat_diag)}°): "
-                      f"⟨Q⟩={d['oceanE_Qp_mean']:+.2f}, implied={implied_p:+.2f}, "
-                      f"resid={resid_p:+.2f}")
+            if ocean_tick:
+                self._print_ocean_diags(d)
             if "routing_ocean_inflow_kgps" in d:
                 print(f"[HydroRoutingDiag] ocean_inflow="
                       f"{d['routing_ocean_inflow_kgps']:.3e} kg/s | "
                       f"mass_error={d['routing_mass_error_kg']:.3e} kg")
+
+    def _print_ocean_diags(self, d):
+        """[OceanDiag]/[OceanE] at the QD_OCEAN_DIAG_EVERY cadence."""
+        if "ocean_KE_mean" in d and self.cfg.ocean.diag:
+            # gated by QD_OCEAN_DIAG like the reference
+            # (run_simulation.py:2264)
+            print(f"[OceanDiag] KE_mean={d['ocean_KE_mean']:.3e} m2/s2 | "
+                  f"Umax={d['ocean_U_max']:.2f} m/s")
+        if "oceanE_Q_mean" in d:
+            # implied ρc_pH·dT/dt vs effective Q_net (ocean.py:446-516);
+            # like the reference, dT spans the diag interval but is
+            # divided by a single step dt
+            oc = self.cfg.ocean
+            rhoCpH = oc.rho_w * oc.cp_w * oc.H_m
+            if self._oceanE_prev is None:
+                implied = resid = implied_p = resid_p = 0.0
+            else:
+                implied = rhoCpH * (d["oceanE_sst_mean"]
+                                    - self._oceanE_prev[0]) / self.model.dt
+                implied_p = rhoCpH * (d["oceanE_sstp_mean"]
+                                      - self._oceanE_prev[1]) / self.model.dt
+                resid = implied - d["oceanE_Q_mean"]
+                resid_p = implied_p - d["oceanE_Qp_mean"]
+            self._oceanE_prev = (d["oceanE_sst_mean"], d["oceanE_sstp_mean"])
+            print(f"[OceanE] ⟨Q_net⟩={d['oceanE_Q_mean']:+.2f} W/m^2 | "
+                  f"implied={implied:+.2f} | resid={resid:+.2f}  "
+                  f"|| Polar(|lat|>={int(oc.polar_lat_diag)}°): "
+                  f"⟨Q⟩={d['oceanE_Qp_mean']:+.2f}, implied={implied_p:+.2f}, "
+                  f"resid={resid_p:+.2f}")
 
     def run(self, duration_seconds: Optional[float] = None):
         """Main loop: chunks + autosave + diagnostics + plots

@@ -185,3 +185,82 @@ def test_event_parity_vs_reference_loop():
                                if rs.n_lakes else [0.0],
                                stored_ref if rs.n_lakes else [0.0],
                                rtol=1e-5, atol=1.0)
+
+
+def test_kahn_order_lake_outlet_not_level_forward():
+    """A lake→outlet edge that is FORWARD in a Kahn-style flow_order can
+    still point at an equal-or-lower raw-D8 level (Kahn pop position is not
+    level-monotone). The reference's sequential loop propagates that mass;
+    a level pass built on raw levels would silently strand it. The kernel
+    must route it to the ocean exactly like the sequential oracle."""
+    H, W = 4, 6
+    n = H * W
+    land = np.zeros((H, W), np.uint8)
+
+    def idx(j, i):
+        return j * W + i
+
+    # chain u1 -> u2 -> L (lake pit); a separate low-level chain o -> p ->
+    # ocean; the lake outlet is o. The outlet must forward DOWNSTREAM to
+    # another land cell (p) — a direct-to-ocean outlet is rescued by the
+    # kernel's end-of-pass terminal sums even when its level is low, but an
+    # intermediate outlet whose level segment already processed would
+    # strand the late-scattered lake mass.
+    u1, u2, L, o, p = idx(1, 1), idx(1, 2), idx(1, 3), idx(2, 1), idx(2, 2)
+    for c in (u1, u2, L, o, p):
+        land.ravel()[c] = 1
+    flow_to = np.full(n, -1, np.int64)
+    flow_to[u1] = u2
+    flow_to[u2] = L
+    flow_to[o] = p
+    # L is a pit -> lake; p drains to ocean
+    raw_level, _ = hn.topo_levels(flow_to, land)
+    assert raw_level[L] == 2 and raw_level[o] == 0  # o BELOW the lake's level
+    assert raw_level[p] == 1
+    lake_mask = np.zeros(n, np.uint8)
+    lake_mask[L] = 1
+    lake_id = np.zeros(n, np.int32)
+    lake_id[L] = 1
+    # Kahn-style order that pops o/p AFTER the lake (valid for the raw DAG:
+    # the o→p chain has no raw-DAG relation to the u-chain) → the redirect
+    # edge L→o is forward-in-order, so the reference loop PROPAGATES the
+    # lake mass through o and p to the ocean
+    fo = np.array([u1, u2, L, o, p], np.int64)
+    net = {
+        "land_mask": land,
+        "flow_to_index": flow_to.reshape(H, W),
+        "flow_level": raw_level.reshape(H, W),
+        "n_levels": int(raw_level.max()) + 1,
+        "lake_mask": lake_mask.reshape(H, W),
+        "lake_id": lake_id.reshape(H, W),
+        "n_lakes": 1,
+        "lake_outlet_index": np.array([o], np.int32),
+        "flow_order": fo,
+    }
+    grid = make_grid(H, W)
+    rs = build_routing_static(net, grid)
+    cfg = HydrologyConfig(dt_hydro_hours=1.0)
+    state = init_routing_state(rs)
+    R = jnp.where(jnp.asarray(land.reshape(H, W)) == 1, 1e-5, 0.0)
+    zeros = jnp.zeros((H, W))
+    state = routing_step(rs, state, cfg, R, 3600.0, zeros, zeros)
+
+    # sequential oracle along flow_order with lake redirection
+    area = np.asarray(grid.cell_area).ravel()
+    acc = np.where(land.ravel() == 1, 1e-5 * area * 3600.0, 0.0)
+    ocean_out = 0.0
+    for c in fo:
+        m = acc[c]
+        if lake_mask[c]:
+            acc[o] += m          # redirect; o is later in fo → propagates
+        elif flow_to[c] >= 0:
+            acc[flow_to[c]] += m
+        else:
+            ocean_out += m
+    got = float(state.ocean_inflow_kgps) * 3600.0
+    np.testing.assert_allclose(got, ocean_out, rtol=1e-6)
+    # nothing strands: the whole input reaches the ocean (stranded is a
+    # difference of f32 sums → allow rounding at the total-mass scale)
+    total_in = float((1e-5 * area * 3600.0 * (land.ravel() == 1)).sum())
+    np.testing.assert_allclose(got, total_in, rtol=1e-6)
+    assert abs(float(state.stranded_kg)) < 1e-6 * total_in

@@ -200,3 +200,23 @@ def test_topography_reexport_preserves_generation_identity(tiny_env, monkeypatch
     w2.verbose = False
     with Dataset(os.path.join("data", "topography.nc"), "r") as ds:
         assert int(getattr(ds, "generation_seed")) == 11
+
+
+def test_diag_gates_and_ocean_cadence(tiny_env, monkeypatch, capsys):
+    """QD_ENERGY_DIAG/QD_WATER_DIAG gate their tags off and
+    QD_OCEAN_DIAG_EVERY densifies the ocean tags — these knobs are parsed
+    into the config catalog and must actually steer the host printer
+    (they were silently inert once)."""
+    monkeypatch.setenv("QD_ENERGY_DIAG", "0")
+    monkeypatch.setenv("QD_WATER_DIAG", "0")
+    monkeypatch.setenv("QD_OCEAN_DIAG_EVERY", "2")
+    from qingdai_tpu.world import QingdaiWorld
+    w = QingdaiWorld.create_default()
+    w.verbose = False
+    diags = w.step_chunk(4)
+    w._print_diags_host(jax.device_get(diags), 0)
+    out = capsys.readouterr().out
+    assert "[EnergyDiag]" not in out
+    assert "[WaterDiag]" not in out
+    assert "[HumidityDiag]" in out          # still default-on
+    assert out.count("[OceanDiag]") == 2    # gsteps 0 and 2 of the 4
