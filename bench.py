@@ -65,7 +65,10 @@ def ablate():
     out = []
     base = None
     for name, env in rows:
-        per_step, _, _ = _measure(extra_env=env, n_chunks=3)
+        # best-of-3 like main(): compile dominates each row's wall time, so
+        # the extra timed repeats are nearly free, and a single noisy 'full'
+        # sample would shift EVERY subsystem_cost_us row by the same ±15 µs
+        per_step, _, _ = _measure(extra_env=env, n_chunks=3, repeats=3)
         if name == "full":
             base = per_step
         # cost of the removed subsystem = full − without (positive when the

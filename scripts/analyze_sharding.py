@@ -92,7 +92,13 @@ def main():
     cp_shapes = collections.Counter()
     for line in hlo.splitlines():
         s = line.strip()
-        mo = re.match(r"(?:ROOT\s+)?%?[\w.\-]+\s*=\s*(\S+)\s+(\S+)\(", s)
+        # the shape token may be a TUPLE with internal spaces when XLA's
+        # collective combiner merges operands — e.g.
+        #   %ar = (f32[45]{0}, f32[45]{0}) all-reduce(%a, %b)
+        # a plain \S+ shape pattern silently skips those lines and the
+        # audit undercounts combined collectives
+        mo = re.match(r"(?:ROOT\s+)?%?[\w.\-]+\s*=\s*"
+                      r"(\([^)]*\)|\S+)\s+(\S+)\(", s)
         if not mo:
             continue
         shape, op = mo.group(1), mo.group(2)

@@ -37,9 +37,11 @@ def main():
     # one compiled chunk per knob value, all in this process/session
     chunks = {}
     states = {}
+    dt_model = None
     for v in args.values:
         os.environ[args.knob] = v
         mdl, st = _build_world(args.nlat, args.nlon)
+        dt_model = mdl.dt
         fn = jax.jit(M.make_chunk_fn(mdl, args.chunk_steps))
         st, _ = fn(st)          # compile + warm
         jax.block_until_ready(st)
@@ -61,13 +63,13 @@ def main():
             states[v] = st
             results[v].append(dt_step)
             print(f"round {r} {args.knob}={v}: {dt_step*1e3:.4f} ms/step "
-                  f"({3600/dt_step*300/T_PLANET:.1f} sim-yr/h)", flush=True)
+                  f"({3600/dt_step*dt_model/T_PLANET:.1f} sim-yr/h)", flush=True)
 
     print("\nbest-of per value:")
     for v in args.values:
         best = min(results[v])
         print(f"  {args.knob}={v}: {best*1e3:.4f} ms/step "
-              f"({3600/best*300/T_PLANET:.1f} sim-yr/h)")
+              f"({3600/best*dt_model/T_PLANET:.1f} sim-yr/h)")
 
 
 if __name__ == "__main__":

@@ -8,8 +8,6 @@ import os
 import sys
 import time
 
-import numpy as np
-
 sys.path.append(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
@@ -29,38 +27,29 @@ def main():
                          "xplane.pb; see docs/perf-notes.md)")
     args = ap.parse_args()
 
-    os.environ["QD_N_LAT"] = str(args.nlat)
-    os.environ["QD_N_LON"] = str(args.nlon)
-    os.environ["QD_DT_SECONDS"] = str(args.dt)
+    extra_env = {}
     if args.no_ocean:
-        os.environ["QD_USE_OCEAN"] = "0"
+        extra_env["QD_USE_OCEAN"] = "0"
     if args.no_eco:
-        os.environ["QD_ECO_ENABLE"] = "0"
+        extra_env["QD_ECO_ENABLE"] = "0"
     if args.no_phyto:
-        os.environ["QD_PHYTO_ENABLE"] = "0"
+        extra_env["QD_PHYTO_ENABLE"] = "0"
     if args.no_routing:
-        os.environ["QD_HYDRO_ENABLE"] = "0"
+        extra_env["QD_HYDRO_ENABLE"] = "0"
 
     import jax
-    from qingdai_tpu.config import SimConfig
-    from qingdai_tpu import model as M, topography as topo, hydro_network as hn
+    # one build recipe for every benchmark surface (env set-and-restore,
+    # flags freeze, topography/network construction): _build_world
+    from __graft_entry__ import _build_world
+    from qingdai_tpu import model as M
     from qingdai_tpu.physics.orbital import T_PLANET
     from qingdai_tpu import constants as const
 
     print(f"[Benchmark] devices={jax.devices()}")
     print(f"[Benchmark] Grid: {args.nlat}x{args.nlon}, steps={args.steps}, "
           f"dt={args.dt}s")
-    cfg = SimConfig.from_env()
-    lat = np.linspace(-90, 90, args.nlat)
-    lon = np.linspace(0, 360, args.nlon)
-    lon_mesh, lat_mesh = np.meshgrid(lon, lat)
-    mask, elev = topo.create_land_sea_mask(lat_mesh, lon_mesh, seed=cfg.run.seed)
-    alb, fric = topo.generate_base_properties(mask, elev, lat_mesh)
-    net = None
-    if cfg.hydrology.routing_enable:
-        net = hn.build_network(lat, lon, elev, mask)
-    mdl = M.build_model(cfg, mask, alb, fric, elevation=elev, network=net)
-    state = M.init_world(mdl)
+    mdl, state = _build_world(args.nlat, args.nlon, dt_seconds=args.dt,
+                              extra_env=extra_env)
 
     chunk_steps = min(args.steps, 240)
     chunk = jax.jit(M.make_chunk_fn(mdl, chunk_steps))

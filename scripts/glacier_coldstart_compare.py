@@ -74,13 +74,18 @@ def run_reference(workdir, days, nlat, nlon, topo_nc=None):
     else:
         env.pop("QD_TOPO_NC", None)
     os.makedirs(workdir, exist_ok=True)
+    rst = os.path.join(workdir, "data", "atmosphere.nc")
+    # a reused workdir retains the previous invocation's restart — remove it
+    # so a failed run cannot be silently measured from stale data
+    if os.path.exists(rst):
+        os.remove(rst)
     r = subprocess.run([sys.executable, "-m", "scripts.run_simulation"],
                        cwd=workdir, env=env, capture_output=True, text=True,
                        timeout=3600)
-    rst = os.path.join(workdir, "data", "atmosphere.nc")
-    if not os.path.exists(rst):
+    if r.returncode != 0 or not os.path.exists(rst):
         sys.stderr.write(r.stdout[-2000:] + r.stderr[-2000:])
-        raise RuntimeError("reference run produced no restart")
+        raise RuntimeError(f"reference run failed (exit {r.returncode}) or "
+                           "produced no restart")
     return rst
 
 
@@ -98,6 +103,9 @@ def run_ours(workdir, days, nlat, nlon, topo_nc=None):
     else:
         env.pop("QD_TOPO_NC", None)
     os.makedirs(workdir, exist_ok=True)
+    rst = os.path.join(workdir, "data", "atmosphere.nc")
+    if os.path.exists(rst):
+        os.remove(rst)
     code = ("import jax; jax.config.update('jax_platforms','cpu');"
             "from qingdai_tpu.world import QingdaiWorld;"
             "w=QingdaiWorld.create_default(); w.run(); w.autosave()")
@@ -107,10 +115,10 @@ def run_ours(workdir, days, nlat, nlon, topo_nc=None):
                                              os.path.abspath(__file__)))
                                          + ":" + env.get("PYTHONPATH", "")},
                        capture_output=True, text=True, timeout=3600)
-    rst = os.path.join(workdir, "data", "atmosphere.nc")
-    if not os.path.exists(rst):
+    if r.returncode != 0 or not os.path.exists(rst):
         sys.stderr.write(r.stdout[-2000:] + r.stderr[-2000:])
-        raise RuntimeError("qingdai_tpu run produced no restart")
+        raise RuntimeError(f"qingdai_tpu run failed (exit {r.returncode}) or "
+                           "produced no restart")
     return rst
 
 
@@ -155,7 +163,9 @@ def main():
     # C_snow/SWE crosses the glacier threshold, rain deposits too
     # (run_simulation.py:1996-2002). This is the origin of the spin-up
     # records' glacier store — measured here on both engines.
-    topo = "/tmp/glacier_topo_shared.nc"
+    # cache keyed on the grid — a bare-existence check would reuse a
+    # wrong-resolution file after a rerun with different --nlat/--nlon
+    topo = f"/tmp/glacier_topo_shared_{args.nlat}x{args.nlon}.nc"
     if not os.path.exists(topo):
         subprocess.run([sys.executable, "-m", "scripts.generate_topography",
                         "--nlat", str(args.nlat), "--nlon", str(args.nlon),

@@ -512,6 +512,17 @@ def main():
         print(f"[Spinup:phase1] metrics: {json.dumps(m1, indent=2)}")
 
     p2_env = {**base_env, "QD_MLD_M": args.mld2, "QD_AUTOSAVE_LOAD": 1}
+    # validate the warm-start source NOW: world.py's restart priority falls
+    # through to a banded cold init when the file is missing, which would
+    # silently burn hours on a cold 50 m-MLD phase 2 while the acceptance
+    # record claims it was warm-started/resumed
+    if args.restart_in and not os.path.exists(args.restart_in):
+        raise SystemExit(f"--restart-in '{args.restart_in}' does not exist")
+    if args.skip_phase1 and not args.restart_in and not os.path.exists(
+            os.path.join("data", "atmosphere.nc")):
+        raise SystemExit("--skip-phase1 requires data/atmosphere.nc (no "
+                         "autosave to resume from — this would cold-start "
+                         "phase 2 and mislabel the record)")
     if args.restart_in:
         # warm start from an explicit (possibly regridded) restart file:
         # atmosphere/ocean/land from the file, ecology/plankton cold-start,
@@ -552,6 +563,15 @@ def main():
                     "static topography re-read from QD_TOPO_NC, f32)",
         }
         result["phase2"]["years_total_evaluated_span"] = total_span
+    # persist the full series BEFORE computing metrics, so a metrics failure
+    # on a short/merged span cannot lose the run's diagnostic record
+    series_path = os.path.splitext(args.out)[0] + "_series.npz"
+    np.savez(series_path, **s2)  # full per-chunk diagnostic record
+
+    # a smoke-scale continuation can push the transient-exclusion cap to or
+    # below zero; evaluate at least the trailing half-year rather than
+    # handing acceptance_metrics an empty window (np.polyfit crashes on one)
+    eval_cap = max(eval_cap, 0.5)
     m2 = acceptance_metrics(s2, min(args.eval_years, eval_cap))
     result["phase2"]["metrics"] = m2
     print(f"[Spinup:phase2] metrics: {json.dumps(m2, indent=2)}")
@@ -559,8 +579,6 @@ def main():
     result["phase2"]["series"] = {
         k: [round(float(x), 10) for x in s2[k]]
         for k in ("t_years", "TOA_net", "Ts_mean")}
-    series_path = os.path.splitext(args.out)[0] + "_series.npz"
-    np.savez(series_path, **s2)  # full per-chunk diagnostic record
 
     crit = build_criteria(m2)
     result["acceptance"] = crit

@@ -30,11 +30,19 @@ def tiny_sharded_hlo(tmp_path, monkeypatch):
     return chunk.lower(state_s).compile().as_text(), (n_lat, n_lon)
 
 
+def _full_field_gather(ln, H, W):
+    """True when the line is an all-gather whose RESULT shape section
+    contains an [H,W] field. The shape may be a tuple with internal spaces
+    (XLA's collective combiner merges operands), so match everything
+    between '=' and the op name rather than one \\S+ token."""
+    m = re.search(r"=\s*(.+?)\s+all-gather(?:-start)?(?:\.\d+)?\(", ln)
+    return bool(m and re.search(rf"\[(?:\d+,)*{H},{W}\]", m.group(1)))
+
+
 def test_no_full_field_all_gather(tiny_sharded_hlo):
     hlo, (H, W) = tiny_sharded_hlo
-    full = re.compile(rf"=\s*\S*\[(?:\d+,)*{H},{W}\]\S*\s+all-gather")
     offenders = [ln.strip()[:160] for ln in hlo.splitlines()
-                 if full.search(ln)]
+                 if _full_field_gather(ln, H, W)]
     assert not offenders, "\n".join(offenders)
 
 
@@ -79,8 +87,7 @@ def test_routing_event_owns_all_full_field_gathers(routing_on_hlo):
     — no cond — fixed by keeping the accumulation buffer 2-D/sharded and
     flattening only inside the event, routing.py RoutingState.)"""
     hlo, (H, W) = routing_on_hlo
-    full = re.compile(rf"\[(?:\d+,)*{H},{W}\]\S*\s+all-gather")
-    gathers = [ln for ln in hlo.splitlines() if full.search(ln)]
+    gathers = [ln for ln in hlo.splitlines() if _full_field_gather(ln, H, W)]
     assert gathers, "expected the routing event's full-field gathers"
     # few: the event's field flatten + scatter-back staging
     assert len(gathers) <= 4, f"{len(gathers)} full-field all-gathers"
