@@ -57,7 +57,9 @@ def ablate():
         ("-cloud_advect", {"QD_CLOUD_ADVECT": "0"}),
         ("-filters", {"QD_DIFF_ENABLE": "0", "QD_SHAPIRO_EVERY": "0"}),
         # VMEM megakernel attributions: each row falls back to the jnp form
-        ("-pallas_ocean", {"QD_PALLAS_OCEAN": "0"}),
+        # (pallas_ocean defaults OFF since the 2026-08-18 A/B, so its
+        # attribution row ENABLES the kernel instead)
+        ("+pallas_ocean", {"QD_PALLAS_OCEAN": "1"}),
         ("-pallas_advect", {"QD_PALLAS_ADVECT": "0"}),
         ("-pallas_hyper4", {"QD_PALLAS_HYPER4": "0"}),
         ("-pallas_median", {"QD_PALLAS_MEDIAN": "0"}),

@@ -39,7 +39,11 @@ def _read_bool(name: str) -> bool:
 
 def _read_all() -> dict:
     d = {k: _read_bool(k) for k in _BOOL_DEFS}
-    d["QD_PALLAS_OCEAN"] = os.getenv("QD_PALLAS_OCEAN", "1").strip().lower()
+    # default OFF since the 2026-08-18 interleaved A/B: the jnp substeps
+    # beat the whole-substep VMEM kernel by ~18 µs/step in 8/8 rounds
+    # (docs/perf-notes.md "Per-subsystem attribution") — XLA already fuses
+    # the substep chain well, and the kernel serializes what XLA pipelines.
+    d["QD_PALLAS_OCEAN"] = os.getenv("QD_PALLAS_OCEAN", "0").strip().lower()
     return d
 
 

@@ -16,8 +16,12 @@ order, same masking), reference /root/reference/pygcm/ocean.py:305-443. The
 polar ring fills and final SST clamp (ocean.py:519-533) stay outside — they
 run once per outer step and involve per-row ring reductions that are cheap
 at that cadence. Single-chip only (the multi-chip path keeps the shard_map
-halo forms); gated by QD_PALLAS_OCEAN (default on; "interpret" forces the
-interpreter for CPU parity tests).
+halo forms); gated by QD_PALLAS_OCEAN (default OFF since the 2026-08-18
+interleaved A/B measured the jnp substep chain ~18 µs/step faster in 8/8
+rounds — XLA fuses the chain well and pipelines HBM traffic the monolithic
+kernel serializes; kept for the record and for "interpret"-mode parity
+tests, and as the VMEM-residency pattern the winning advect/median kernels
+grew from).
 """
 
 from __future__ import annotations
