@@ -1,0 +1,95 @@
+#!/usr/bin/env python3
+"""Ensemble runner/benchmark: N perturbed planets in one vmapped scan chunk.
+
+The reference can only produce an ensemble by running its ~0.25 sim-years/hour
+NumPy loop N times (/root/reference/scripts/run_simulation.py); here the
+members ride one jitted chunk (qingdai_tpu/ensemble.py). Measured on TPU
+v5e-1 at 181×360 the marginal member costs ~0.25 ms/step (vs 0.33 for a
+dedicated run), peaking at 8 members = ~103 aggregate member·sim-years/hour
+(docs/perf-notes.md "Ensemble mode" for the full curve).
+
+Usage (TPU):
+  python -m scripts.ensemble --members 8 --days 2            # timed bench
+  python -m scripts.ensemble --members 8 --days 2 --json     # one JSON line
+
+Prints per-member per-step time, aggregate member·sim-years/hour, and the
+ensemble spread of the scalar diagnostics (the forecast-spread endpoint).
+"""
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.append(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--members", type=int, default=8)
+    p.add_argument("--days", type=int, default=2,
+                   help="simulated days to run after the warm-up chunk")
+    p.add_argument("--nlat", type=int, default=181)
+    p.add_argument("--nlon", type=int, default=360)
+    p.add_argument("--perturb-k", type=float, default=0.01,
+                   help="member T_s/SST perturbation amplitude (kelvin)")
+    p.add_argument("--chunk-days", type=int, default=1)
+    p.add_argument("--json", action="store_true",
+                   help="print only the one-line JSON summary")
+    args = p.parse_args(argv)
+
+    import jax
+    from __graft_entry__ import _build_world
+    from qingdai_tpu import ensemble as E
+    from qingdai_tpu import model as M
+
+    mdl, _ = _build_world(args.nlat, args.nlon)
+    spd = int(round(mdl.day_seconds / mdl.dt))
+    chunk_steps = args.chunk_days * spd
+    ens = E.init_ensemble(mdl, args.members, perturb_k=args.perturb_k)
+    echunk = jax.jit(E.make_ensemble_chunk_fn(mdl, chunk_steps))
+
+    t0 = time.time()
+    ens, diags = echunk(ens)       # compile + warm-up chunk
+    jax.block_until_ready(ens)
+    compile_s = time.time() - t0
+
+    n_chunks = max(1, args.days // args.chunk_days)
+    t0 = time.time()
+    for _ in range(n_chunks):
+        ens, diags = echunk(ens)
+    jax.block_until_ready(ens)
+    wall = time.time() - t0
+    per_step = wall / (n_chunks * chunk_steps)
+
+    from qingdai_tpu.physics.orbital import T_PLANET
+    sim_years_per_hour = 3600.0 / per_step * mdl.dt / T_PLANET
+    aggregate = args.members * sim_years_per_hour
+    spread = E.spread_diagnostics(diags)
+    summary = {
+        "metric": "ensemble_member_sim_years_per_hour",
+        "members": args.members,
+        "grid": f"{args.nlat}x{args.nlon}",
+        "per_step_ms": round(per_step * 1e3, 4),
+        "wall_sim_years_per_hour": round(sim_years_per_hour, 2),
+        "value": round(aggregate, 2),
+        "unit": "member-sim-years/hour",
+        "compile_s": round(compile_s, 1),
+        "Ts_mean_spread_K": round(spread.get("Ts_mean_spread", float("nan")), 5),
+    }
+    if not args.json:
+        print(f"[Ensemble] {args.members} members at {args.nlat}x{args.nlon}: "
+              f"{per_step*1e3:.3f} ms/step (all members), "
+              f"{sim_years_per_hour:.1f} wall sim-years/hour, "
+              f"aggregate {aggregate:.1f} member-sim-years/hour")
+        print(f"[Ensemble] Ts_mean spread at endpoint: "
+              f"{spread.get('Ts_mean_spread', float('nan')):.5f} K")
+    print(json.dumps(summary))
+    return summary
+
+
+if __name__ == "__main__":
+    main()
