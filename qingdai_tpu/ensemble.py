@@ -168,6 +168,41 @@ def make_ensemble_chunk_fn(model: M.Model, chunk_steps: Optional[int] = None,
     return ens_chunk
 
 
+def make_member_mesh(n_devices: Optional[int] = None):
+    """1-D device mesh over the ensemble member axis.
+
+    Member-axis sharding is the natural multi-chip layout for ensembles:
+    unlike the longitude mesh (parallel/mesh.py), members never exchange
+    data — no halos, no psums, no routing all-gather crosses the member
+    axis — so an N-chip mesh runs N× the members at the single-chip rate.
+    Audited on the 8-device virtual mesh: the compiled chunk contains ZERO
+    collectives inside the step scan; the only collectives at all are ~13
+    single-scalar all-reduces at chunk entry (the shared-clock collapse,
+    once per chunk call). Numerical parity with the unsharded ensemble is
+    locked by tests/test_ensemble.py."""
+    import numpy as np
+    from jax.sharding import Mesh
+    devs = jax.devices()
+    n = n_devices or len(devs)
+    return Mesh(np.array(devs[:n]), ("member",))
+
+
+def shard_ensemble(ens_state: WorldState, mesh) -> WorldState:
+    """device_put the stacked ensemble with every leaf split on its leading
+    member axis (n_members must be a multiple of the mesh size). The chunk
+    from make_ensemble_chunk_fn runs on the result unchanged — the SPMD
+    partitioner splits the vmapped batch axis; only the collapsed clock
+    scalars are broadcast (a few scalars per chunk, not per step)."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    def put(leaf):
+        arr = jnp.asarray(leaf)
+        spec = P("member", *([None] * (arr.ndim - 1)))
+        return jax.device_put(arr, NamedSharding(mesh, spec))
+
+    return jax.tree.map(put, ens_state)
+
+
 def member_state(ens_state: WorldState, i: int) -> WorldState:
     """Extract member ``i`` as a plain single-planet WorldState."""
     return jax.tree.map(lambda leaf: leaf[i], ens_state)

@@ -109,3 +109,43 @@ def test_member_rng_streams_decorrelate():
     rngs = np.asarray(ens.rng)
     assert not np.array_equal(rngs[1], rngs[2])
     assert not np.array_equal(rngs[0], rngs[1])
+
+
+def test_member_sharded_ensemble_matches_unsharded():
+    """Member-axis data parallelism: the same vmapped chunk on a
+    member-sharded ensemble (8 members over the 8-device virtual mesh)
+    reproduces the unsharded run and keeps the outputs member-sharded.
+    Members never exchange data, so sharding the batch axis must be a pure
+    layout change."""
+    if jax.device_count() < 2:
+        import pytest
+        pytest.skip("needs the multi-device virtual mesh")
+    mdl = _build()
+    n = jax.device_count()
+    ens = E.init_ensemble(mdl, n_members=n, perturb_k=0.05)
+    echunk = jax.jit(E.make_ensemble_chunk_fn(mdl, 30))
+
+    es_ref, ed_ref = echunk(ens)
+
+    mesh = E.make_member_mesh()
+    sharded = E.shard_ensemble(ens, mesh)
+    es_sh, ed_sh = echunk(sharded)
+
+    # outputs stay member-sharded (no silent gather-to-one-device)
+    shd = es_sh.atmos.T_s.sharding
+    assert not shd.is_fully_replicated, shd
+
+    for (pa, a), (_, b) in zip(
+            jax.tree_util.tree_flatten_with_path(jax.device_get(es_ref))[0],
+            jax.tree_util.tree_flatten_with_path(jax.device_get(es_sh))[0]):
+        a, b = np.asarray(a), np.asarray(b)
+        if a.dtype.kind != "f":
+            np.testing.assert_array_equal(a, b, err_msg=jax.tree_util.keystr(pa))
+            continue
+        fin = np.isfinite(a)
+        assert (fin == np.isfinite(b)).all(), jax.tree_util.keystr(pa)
+        scale = max(1.0, float(np.max(np.abs(a[fin]))) if fin.any() else 1.0)
+        d = float(np.max(np.abs(a[fin] - b[fin]))) / scale if fin.any() else 0.0
+        assert d < 1e-6, f"{jax.tree_util.keystr(pa)}: rel diff {d:.3e}"
+    np.testing.assert_allclose(np.asarray(ed_sh["Ts_mean"]),
+                               np.asarray(ed_ref["Ts_mean"]), rtol=1e-6)
