@@ -21,6 +21,7 @@ from .. import constants as const
 from ..config import PhytoConfig, EcologyConfig
 from ..grid import Grid
 from ..ops.advect import advect_semilag_multi
+from ..ops import safegrad
 from ..ops.stencil import laplacian_sphere
 from . import spectral as spec
 
@@ -148,7 +149,7 @@ def build_phyto(grid_shape, land_mask, cfg: PhytoConfig, eco_cfg: EcologyConfig,
 def _alpha_bands_from_species(ps: PhytoStatic, cfg: PhytoConfig, C_phyto):
     """A_b = A_pure_b + Σ_s c_s·Shape_s[b]·Chl_s^p_s (phyto.py:314-335)."""
     chl = jnp.maximum(C_phyto, 0.0)
-    term = jnp.power(chl, ps.p_reflect_s[:, None, None])          # [S,H,W]
+    term = safegrad.pow_safe(chl, ps.p_reflect_s[:, None, None])          # [S,H,W]
     contrib = jnp.einsum("sb,shw->bhw", ps.shape_sb * ps.c_reflect_s[:, None], term)
     A = ps.Apure_b[:, None, None] + contrib
     return jnp.clip(A, cfg.alpha_min, cfg.alpha_max)
@@ -160,7 +161,7 @@ def phyto_step_daily(ps: PhytoStatic, st: PhytoState, cfg: PhytoConfig,
     I_b_surf = spec.dual_star_insolation_to_bands(insA, insB, ps.specA, ps.specB, ps.T_ray)
 
     C_tot = jnp.sum(st.C_phyto, axis=0)
-    chl_pow = jnp.power(jnp.maximum(C_tot, 0.0), cfg.kd_exp_m)
+    chl_pow = safegrad.pow_safe(jnp.maximum(C_tot, 0.0), cfg.kd_exp_m)
     Kd_b = jnp.clip(ps.Kd0_b[:, None, None] + ps.kchl_b[:, None, None] * chl_pow[None],
                     1e-6, jnp.inf)
     x = Kd_b * ps.H_mld

@@ -17,6 +17,7 @@ below; ``0/false/no/off`` (any case) → off; anything else → on.
 interpreter on any backend — CPU parity tests).
 """
 
+import contextlib
 import os
 
 _BOOL_DEFS = {
@@ -70,3 +71,25 @@ def pallas_ocean_mode() -> str:
     """Frozen QD_PALLAS_OCEAN string: '1'-ish, an _OFF spelling, or
     'interpret'."""
     return _snapshot["QD_PALLAS_OCEAN"]
+
+
+@contextlib.contextmanager
+def overridden(overrides: dict):
+    """Temporarily replace gate values in the frozen snapshot.
+
+    For call sites that must trace with specific gates regardless of the
+    ambient config — e.g. the adjoint window (adjoint.py) traces with every
+    QD_PALLAS_* kernel off because ``pallas_call`` has no VJP rule. The
+    override is only seen by traces that happen INSIDE the with-block, so
+    wrap the (first) call of the jitted function, not just its construction.
+    """
+    global _snapshot
+    unknown = set(overrides) - set(_snapshot)
+    if unknown:
+        raise KeyError(f"unknown flag(s): {sorted(unknown)}")
+    old = _snapshot
+    _snapshot = {**old, **overrides}
+    try:
+        yield
+    finally:
+        _snapshot = old

@@ -27,6 +27,7 @@ from .ops.stencil import (hyperdiffuse, hyperdiffuse_multi,
                           shapiro_filter_multi)
 from .ops.reductions import area_mean
 from .ops.control import cond_keep_dtypes
+from .ops import safegrad
 from .state import OceanState
 
 
@@ -123,7 +124,7 @@ def ocean_step(grid: Grid, cfg: OceanConfig, land_mask,
     # Wind stress from relative wind, constant within substeps (ocean.py:285-291)
     u_rel = u_atm - ocn.uo
     v_rel = v_atm - ocn.vo
-    Va = jnp.sqrt(u_rel ** 2 + v_rel ** 2)
+    Va = safegrad.speed(u_rel, v_rel)
     Va_eff = jnp.minimum(Va, cfg.vcap)
     tau_x = cfg.tau_scale * (cfg.rho_a * cfg.CD * Va_eff * u_rel)
     tau_y = cfg.tau_scale * (cfg.rho_a * cfg.CD * Va_eff * v_rel)
@@ -284,7 +285,7 @@ def ocean_step(grid: Grid, cfg: OceanConfig, land_mask,
         # outlier handling (ocean.py:408-434)
         uo = jnp.nan_to_num(uo)
         vo = jnp.nan_to_num(vo)
-        speed = jnp.sqrt(uo ** 2 + vo ** 2)
+        speed = safegrad.speed(uo, vo)
         cap = cfg.max_u_cap
         if cfg.outlier_method == "mean4":
             u_m4 = 0.25 * (jnp.roll(uo, -1, 0) + jnp.roll(uo, 1, 0)
@@ -294,7 +295,7 @@ def ocean_step(grid: Grid, cfg: OceanConfig, land_mask,
             fast = speed > cap
             uo = jnp.where(fast, u_m4, uo)
             vo = jnp.where(fast, v_m4, vo)
-            speed2 = jnp.sqrt(uo ** 2 + vo ** 2)
+            speed2 = safegrad.speed(uo, vo)
             scl = jnp.where(speed2 > cap, cap / (speed2 + 1e-12), 1.0)
             uo = uo * scl
             vo = vo * scl
@@ -323,7 +324,7 @@ def ocean_step(grid: Grid, cfg: OceanConfig, land_mask,
 def ocean_diagnostics(grid: Grid, cfg: OceanConfig, ocn: OceanState):
     """KE / max|u| / eta range / CFL scalars (ocean.py:535-561)."""
     KE = 0.5 * (ocn.uo ** 2 + ocn.vo ** 2)
-    speed = jnp.sqrt(ocn.uo ** 2 + ocn.vo ** 2)
+    speed = safegrad.speed(ocn.uo, ocn.vo)
     a = const.PLANET_RADIUS
     dx_lat = a * grid.dlat_rad
     dx_lon_min = a * grid.dlon_rad * 0.5

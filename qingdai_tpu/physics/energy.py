@@ -14,6 +14,7 @@ import jax.numpy as jnp
 
 from .. import constants as const
 from ..config import EnergyConfig
+from ..ops import safegrad
 from ..ops.reductions import area_mean
 
 
@@ -171,7 +172,7 @@ def integrate_surface_energy_with_seaice(Ts, SW_sfc, LW_sfc, SH, LH, dt,
 
 def boundary_layer_fluxes(Ts, Ta, u, v, land_mask, cfg: EnergyConfig, rho=1.2):
     """Bulk SH + Bowen-ratio LH (energy.py:423-449)."""
-    V = jnp.sqrt(u * u + v * v)
+    V = safegrad.speed(u, v)
     SH = rho * cfg.cp_air * cfg.C_H * V * (Ts - Ta)
     B = jnp.maximum(jnp.where(land_mask == 1, cfg.bowen_land, cfg.bowen_ocean), 1e-3)
     LH = SH / B

@@ -14,6 +14,7 @@ import numpy as np
 
 from .. import constants as const
 from ..grid import Grid
+from ..ops import safegrad
 from . import orbital
 
 # --- Precomputed planet-fixed equatorial frame (forcing.py:32-40) ---
@@ -85,4 +86,6 @@ def equilibrium_temp(isr, albedo):
     it is not recomputed inside the step.
     """
     numerator = jnp.maximum(isr * (1.0 - albedo), 0.0)
-    return (numerator / const.SIGMA) ** 0.25
+    # safegrad: isr == 0 exactly on the night side; bare **0.25 there makes
+    # every adjoint sweep NaN (inf · 0 in the chain rule). Forward identical.
+    return safegrad.quartic_root(numerator / const.SIGMA)

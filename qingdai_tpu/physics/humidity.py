@@ -8,6 +8,7 @@ from __future__ import annotations
 import jax.numpy as jnp
 
 from ..config import HumidityConfig
+from ..ops import safegrad
 
 EPSILON = 0.622  # Mw/Md
 
@@ -35,7 +36,7 @@ def surface_evaporation_factor(land_mask, h_ice, cfg: HumidityConfig,
 
 def evaporation_flux(Ts, q, u, v, surface_factor, cfg: HumidityConfig):
     """E = ρ_a C_E |V| (q_sat(Ts) − q)+ · S_type (humidity.py:145-159)."""
-    V = jnp.sqrt(u * u + v * v)
+    V = safegrad.speed(u, v)
     deficit = jnp.maximum(0.0, q_sat(Ts, p=cfg.p0) - q)
     return cfg.rho_a * cfg.C_E * V * deficit * surface_factor
 

@@ -166,8 +166,13 @@ class QingdaiWorld:
                         pass
         self.network = network
 
+        # QD_DTYPE reaches the build here (bench paths pass it explicitly);
+        # before this was plumbed, the knob was silently dead through the
+        # runner and every QingdaiWorld build was float32
+        build_dtype = jnp.dtype(cfg.run.dtype)
         self.model = M.build_model(cfg, land_mask, base_albedo, friction,
-                                   elevation=elevation, network=network)
+                                   elevation=elevation, network=network,
+                                   dtype=build_dtype)
         self._log(f"[Model] grid {n_lat}x{n_lon}, dt={cfg.run.dt_seconds}s, "
                   f"ocean_substeps={self.model.n_ocean_substeps}")
 
@@ -215,7 +220,8 @@ class QingdaiWorld:
 
         self.t0_seconds = t0
         self.t_seconds = t0  # exact epoch tracked host-side (float64)
-        self.state = M.init_world(self.model, t0_seconds=t0, seed=cfg.run.seed)
+        self.state = M.init_world(self.model, t0_seconds=t0, seed=cfg.run.seed,
+                                  dtype=self.model.build_dtype or jnp.float32)
         if rst is not None:
             self.state = ncio.apply_restart_to_state(
                 self.state, rst, has_ocean=cfg.ocean.enabled)

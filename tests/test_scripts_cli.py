@@ -108,6 +108,29 @@ def test_benchmark_cli(tmp_path, monkeypatch, capsys):
     assert "per-step" in out or "per_step" in out
 
 
+def test_sensitivity_cli(tmp_path, monkeypatch, capsys):
+    """scripts/sensitivity scalar mode end-to-end on a tiny world: builds
+    like run_simulation, takes dJ/d(gh_factor) over a 4-step window, prints
+    one JSON object with a finite gradient."""
+    monkeypatch.setenv("QD_N_LAT", "19")
+    monkeypatch.setenv("QD_N_LON", "36")
+    monkeypatch.setenv("QD_AUTOSAVE_LOAD", "0")
+    # f64: adjoint windows in f32 currently produce NaN gradients (an f32
+    # range blowup in the backward pass, not yet located — docs/19 "Known
+    # limitation"); f64 is the supported adjoint configuration.
+    monkeypatch.setenv("QD_DTYPE", "float64")
+    monkeypatch.chdir(tmp_path)
+    _run("sensitivity",
+         ["--param", "gh_factor", "--steps", "4", "--segment", "2", "--json"],
+         monkeypatch)
+    res = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert res["mode"] == "scalar"
+    assert res["steps"] == 4
+    assert np.isfinite(res["J"]) and np.isfinite(res["dJ_dx"])
+    # more greenhouse -> warmer, even over a 4-step window
+    assert res["dJ_dx"] > 0.0
+
+
 def test_plot_ecology_point_cli(tmp_path, monkeypatch, capsys):
     """plot_ecology_point builds the default world at a tiny grid and renders
     the 3×4 top-3-species panel from the initial state."""
