@@ -9,6 +9,8 @@ keep the step sync-free.
 
 from __future__ import annotations
 
+from functools import partial
+
 import jax
 import jax.numpy as jnp
 
@@ -146,22 +148,12 @@ def area_mean_compensated(x: jax.Array, w: jax.Array,
     return (nh + nl) / (dh + dl + 1e-15)
 
 
-def masked_median_of_positive(x: jax.Array, fallback: float = 1e-6) -> jax.Array:
-    """Median over strictly positive entries of x; ``fallback`` if none.
+def _median_bisect_stats(x: jax.Array):
+    """(n_positive, [k1-th, k2-th] order statistics) by value-range bisection.
 
-    On-device re-expression of ``np.median(x[x > 0])`` (physics.py:299-303).
-    Instead of a full sort (O(N log N) and ~0.1 ms for the 181×360 grid every
-    step), the two middle order statistics are found by fixed-count bisection
-    on the value range: each iteration is one fused compare+count pass over x,
-    so the whole median is ~30 cheap HBM passes. The interval shrinks to
-    max·2⁻ⁱᵗᵉʳˢ, below one ulp of the data type, so the result matches the
-    sort-based median to roundoff (asserted in tests/test_ops.py).
-    """
-    if x.dtype == jnp.float32 and _use_pallas_median():
-        return _median_pos_pallas(x, fallback)
-    # keep the native shape: every pass is a full reduction of elementwise
-    # predicates, so a lon-sharded 2-D field bisects with per-shard partial
-    # counts + scalar all-reduces (a ravel would force a full all-gather)
+    Each of the fixed-count iterations is one fused compare+count pass over
+    x; the interval shrinks to max·2⁻ⁱᵗᵉʳˢ, below one ulp of the data type,
+    so each statistic matches the sort-based one to roundoff."""
     pos = x > 0.0
     n = jnp.sum(pos)
     # order statistics (0-indexed): numpy median averages k1=(n-1)//2, k2=n//2
@@ -185,8 +177,55 @@ def masked_median_of_positive(x: jax.Array, fallback: float = 1e-6) -> jax.Array
         return jnp.where(ge, lo, mid), jnp.where(ge, mid, hi)
 
     lo, hi = jax.lax.fori_loop(0, iters, body, (lo0, hi0))
+    return n, hi
+
+
+@partial(jax.custom_jvp, nondiff_argnums=(1,))
+def masked_median_of_positive(x: jax.Array, fallback: float = 1e-6) -> jax.Array:
+    """Median over strictly positive entries of x; ``fallback`` if none.
+
+    On-device re-expression of ``np.median(x[x > 0])`` (physics.py:299-303).
+    Instead of a full sort (O(N log N) and ~0.1 ms for the 181×360 grid every
+    step), the two middle order statistics are found by fixed-count bisection
+    on the value range — ~30 cheap HBM passes; matches the sort-based median
+    to roundoff (asserted in tests/test_ops.py). The jnp form keeps the
+    native shape so a lon-sharded 2-D field bisects with per-shard partial
+    counts + scalar all-reduces (a ravel would force a full all-gather).
+
+    Differentiation: a custom JVP supplies the exact generic-point
+    derivative — the median tracks its defining order-statistic element(s),
+    so d med = ½·(dx[i₁] + dx[i₂]) with i₁/i₂ the positive elements nearest
+    the two middle order statistics (the same element twice for odd counts).
+    Autodiff through the bisection loop instead attributes the derivative to
+    the MAX element (hi0 is the loop's only data-dependent input) — wrong at
+    every point — and its unrolled 34-select backward graph generated f32
+    NaNs; both were measured before this rule existed (docs/19). Also makes
+    the Pallas forward path differentiable (the JVP never sees the kernel).
+    The argmin in the JVP ravels, so adjoint traces of a lon-sharded field
+    will all-gather — adjoints currently run single-chip; acceptable.
+    """
+    if x.dtype == jnp.float32 and _use_pallas_median():
+        return _median_pos_pallas(x, fallback)
+    n, hi = _median_bisect_stats(x)
     med = 0.5 * (hi[0] + hi[1])
     return jnp.where(n > 0, med, jnp.asarray(fallback, x.dtype))
+
+
+@masked_median_of_positive.defjvp
+def _masked_median_jvp(fallback, primals, tangents):
+    (x,), (dx,) = primals, tangents
+    n, hi = _median_bisect_stats(x)
+    med = jnp.where(n > 0, 0.5 * (hi[0] + hi[1]),
+                    jnp.asarray(fallback, x.dtype))
+    posf = (x > 0.0).ravel()
+    xf, df = x.ravel(), dx.ravel()
+    inf = jnp.asarray(jnp.inf, x.dtype)
+    # each order statistic is within ~1 ulp of a real element: nearest-
+    # element lookup identifies it robustly (ties -> any is a subgradient)
+    i1 = jnp.argmin(jnp.where(posf, jnp.abs(xf - hi[0]), inf))
+    i2 = jnp.argmin(jnp.where(posf, jnp.abs(xf - hi[1]), inf))
+    dmed = 0.5 * (df[i1] + df[i2])
+    return med, jnp.where(n > 0, dmed, jnp.zeros_like(dmed))
 
 
 def _median_pos_pallas_kernel(x_ref, out_ref):

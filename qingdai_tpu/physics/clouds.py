@@ -125,11 +125,17 @@ def diagnose_precipitation_hybrid(grid: Grid, u, v, cloud_cover, P_cond,
     F = (1.0 + cfg.beta_div * F_div) * F_orog
     P_raw = Pq * F
 
-    # Renormalize to conserve global ⟨P⟩ = ⟨P_cond⟩
+    # Renormalize to conserve global ⟨P⟩ = ⟨P_cond⟩. The double-where keeps
+    # the backward finite at the cold-start all-zero point: with a `+1e-20`
+    # floor instead, the division's reverse rule evaluates num/den² = 0/1e-40
+    # (f32 underflow → 0/0) and the scan transpose's materialized zero
+    # cotangents turn that into NaN·0 — one of the f32 full-window adjoint
+    # NaN sources (docs/19).
     w = grid.area_w
     num = jnp.sum(Pq * w)
-    den = jnp.sum(P_raw * w) + 1e-20
-    s = jnp.where(den > 0, num / den, 1.0)
+    den = jnp.sum(P_raw * w)
+    has_p = den > 0
+    s = jnp.where(has_p, num / jnp.where(has_p, den, 1.0), 1.0)
     P = P_raw * s
 
     if smooth_sigma and smooth_sigma > 0:

@@ -5,6 +5,7 @@ TPU re-expression of /root/reference/pygcm/hydrology.py (P009/P019).
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 from ..config import HydrologyConfig
@@ -20,9 +21,16 @@ def partition_precip_phase(P_flux, T_s, T_thresh=273.15):
 
 
 def partition_precip_phase_smooth(P_flux, T_hat_a, T_thresh=273.15, dT_half_K=1.5):
-    """Sigmoid split on lapse-adjusted T̂_a (hydrology.py:100-121)."""
-    f_snow = jnp.clip(1.0 / (1.0 + jnp.exp((T_hat_a - T_thresh) / max(1e-6, dT_half_K))),
-                      0.0, 1.0)
+    """Sigmoid split on lapse-adjusted T̂_a (hydrology.py:100-121).
+
+    Uses ``jax.nn.sigmoid`` rather than the literal ``1/(1+exp(x))``: the
+    warm tail reaches x≈109 at cold-start (T̂_a≈436 K over high-h ocean),
+    where f32 ``exp`` overflows — forward survives (1/inf→0) but the JVP is
+    ``inf·dx`` = NaN for zero tangents, which was one of the f32 full-window
+    adjoint NaN sources (docs/19). The stable sigmoid's derivative is
+    σ·(1−σ) and never materializes exp(x).
+    """
+    f_snow = jax.nn.sigmoid((T_thresh - T_hat_a) / max(1e-6, dT_half_K))
     return (1.0 - f_snow) * P_flux, f_snow * P_flux, f_snow
 
 

@@ -145,6 +145,33 @@ def test_segment_choice_does_not_change_forward_value(tiny_world):
     assert A.default_segment(12) == 3
 
 
+def test_f32_backward_sweep_is_finite():
+    """Regression for the f32 adjoint NaN (docs/19): the backward sweep in
+    float32 through the full coupled window used to produce NaN from three
+    sites — autodiff through the median bisection loop's unrolled 34-select
+    backward graph (now a custom JVP, see ops/reductions.py), the precip
+    renormalization's `den + 1e-20` floor whose reverse rule evaluated
+    0/1e-40 at the cold-start all-zero point (now a double-where,
+    physics/clouds.py), and the rain/snow `1/(1+exp(x))` whose f32 exp
+    overflows at x≈109 making the JVP inf·dx (now jax.nn.sigmoid,
+    physics/hydrology.py). f32 must stay differentiable: the gradient must
+    be finite and agree with the f64 sweep to f32 accuracy."""
+    from __graft_entry__ import _build_world
+    from qingdai_tpu import adjoint as A
+    g32 = None
+    for dtype in (jnp.float32, jnp.float64):
+        mdl, state = _build_world(19, 36, dt_seconds=300.0, dtype=dtype)
+        vg = A.make_value_and_grad(mdl, 4, segment=2)
+        (J, _), grads = vg({"gh_factor": jnp.asarray(0.40, dtype)}, state)
+        assert np.isfinite(float(J))
+        dJ = float(grads["gh_factor"])
+        assert np.isfinite(dJ) and dJ > 0.0
+        if dtype == jnp.float32:
+            g32 = dJ
+        else:
+            np.testing.assert_allclose(g32, dJ, rtol=2e-2)
+
+
 def test_calibrate_newton_hits_target(tiny_world):
     from qingdai_tpu import adjoint as A
     mdl, state = tiny_world

@@ -143,6 +143,35 @@ def test_masked_median(rng):
     assert float(masked_median_of_positive(jnp.asarray(-np.abs(x)), fallback=3.0)) == 3.0
 
 
+def test_masked_median_gradient(rng):
+    """The custom JVP is the exact generic-point derivative: the median
+    tracks its defining order-statistic element(s) — a one-hot at the median
+    element for odd positive counts, ½/½ on the two middle elements for even
+    counts, zero on the fallback branch. Autodiff through the bisection loop
+    instead attributed the derivative to the max element (wrong at every
+    point) and its unrolled backward graph generated f32 NaNs — both
+    measured before the rule existed (docs/19-adjoint-sensitivity.md)."""
+    import jax
+    for n in (7, 8, 101, 100):
+        x = jnp.asarray(np.abs(rng.standard_normal(n)) + 0.01)
+        g = jax.grad(lambda a: masked_median_of_positive(a))(x)
+        nz = np.nonzero(np.asarray(g))[0]
+        assert len(nz) in (1, 2) and np.isclose(float(jnp.sum(g)), 1.0)
+        eps = 1e-7
+        for i in nz:  # FD at each contributing element
+            fd = (float(masked_median_of_positive(x.at[i].add(eps)))
+                  - float(masked_median_of_positive(x.at[i].add(-eps)))) / (2 * eps)
+            np.testing.assert_allclose(float(g[i]), fd, rtol=1e-5)
+        # a non-contributing element has exactly zero derivative
+        j = next(k for k in range(n) if k not in nz)
+        fd0 = (float(masked_median_of_positive(x.at[j].add(eps)))
+               - float(masked_median_of_positive(x.at[j].add(-eps)))) / (2 * eps)
+        assert g[j] == 0.0 and fd0 == 0.0
+    # fallback branch: zero gradient, no NaN
+    g0 = jax.grad(lambda a: masked_median_of_positive(a))(-jnp.ones(5))
+    assert np.all(np.asarray(g0) == 0.0)
+
+
 def test_masked_median_bisect_matches_sort(rng):
     from qingdai_tpu.ops.reductions import masked_median_of_positive_sort
     for n_zero in (0, 700):  # even and odd positive counts across trials

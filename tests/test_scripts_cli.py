@@ -115,10 +115,10 @@ def test_sensitivity_cli(tmp_path, monkeypatch, capsys):
     monkeypatch.setenv("QD_N_LAT", "19")
     monkeypatch.setenv("QD_N_LON", "36")
     monkeypatch.setenv("QD_AUTOSAVE_LOAD", "0")
-    # f64: adjoint windows in f32 currently produce NaN gradients (an f32
-    # range blowup in the backward pass, not yet located — docs/19 "Known
-    # limitation"); f64 is the supported adjoint configuration.
-    monkeypatch.setenv("QD_DTYPE", "float64")
+    # f32: the TPU adjoint precision (docs/19 "float32 adjoints" — the
+    # backward sweep is finite in f32 since the median-JVP/renorm/sigmoid
+    # fixes; test_adjoint.py locks f32-vs-f64 agreement)
+    monkeypatch.setenv("QD_DTYPE", "float32")
     monkeypatch.chdir(tmp_path)
     _run("sensitivity",
          ["--param", "gh_factor", "--steps", "4", "--segment", "2", "--json"],
