@@ -1,0 +1,157 @@
+#!/usr/bin/env python3
+"""OSSE data-assimilation cycling: LETKF over the vmapped ensemble.
+
+An Observing-System Simulation Experiment on the full coupled planet: a
+"truth" run generates synthetic point observations of T_s each cycle; an
+ensemble that starts displaced from the truth is advanced in one vmapped
+scan chunk (qingdai_tpu/ensemble.py) and corrected by the LETKF analysis
+(qingdai_tpu/assim.py) at every cycle boundary. A free-running ensemble
+(same members, no assimilation) is the control. The assimilated ensemble
+mean must track the truth; the free ensemble drifts with the initial
+displacement — the standard demonstration that the filter works end to end.
+
+The reference has no ensemble, no adjoint, and no assimilation machinery
+(one NumPy loop: /root/reference/scripts/run_simulation.py:1760-2490);
+this is a beyond-reference capability built on the pure functional step.
+
+Usage:
+  python -m scripts.assimilate --members 8 --cycles 8 --json      # TPU
+  python -m scripts.assimilate --nlat 19 --nlon 36 --cycle-steps 12 \
+      --members 6 --cycles 3                                       # CPU-fast
+
+Prints one JSON line: per-cycle background/analysis RMSE of the ensemble
+mean vs truth, ensemble spread, and the free-run control RMSE.
+"""
+
+import argparse
+import dataclasses
+import json
+import os
+import sys
+import time
+
+sys.path.append(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--members", type=int, default=8)
+    p.add_argument("--cycles", type=int, default=8)
+    p.add_argument("--cycle-steps", type=int, default=0,
+                   help="steps per assimilation cycle (0 = one planetary "
+                        "day, the day-aligned fast path)")
+    p.add_argument("--nlat", type=int, default=181)
+    p.add_argument("--nlon", type=int, default=360)
+    p.add_argument("--obs-count", type=int, default=500)
+    p.add_argument("--obs-sigma", type=float, default=0.5,
+                   help="observation error std dev (K)")
+    p.add_argument("--radius-km", type=float, default=2000.0,
+                   help="Gaspari-Cohn localization radius (0 = global ETKF)")
+    p.add_argument("--inflation", type=float, default=1.04)
+    p.add_argument("--fields", default="T_s,sst,h,q",
+                   help="comma-separated assimilated fields")
+    p.add_argument("--perturb-k", type=float, default=1.0,
+                   help="ensemble initial displacement amplitude (K)")
+    p.add_argument("--displace-k", type=float, default=3.0,
+                   help="truth displacement the ensemble must recover (K)")
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--solver", default="ns", choices=["ns", "eigh"])
+    p.add_argument("--no-free-baseline", action="store_true",
+                   help="skip the free-running control ensemble")
+    p.add_argument("--json", action="store_true")
+    args = p.parse_args(argv)
+
+    import jax
+    import jax.numpy as jnp
+    from __graft_entry__ import _build_world
+    from qingdai_tpu import assim as A
+    from qingdai_tpu import ensemble as E
+    from qingdai_tpu import model as M
+
+    mdl, truth = _build_world(args.nlat, args.nlon)
+    spd = int(round(mdl.day_seconds / mdl.dt))
+    cyc = args.cycle_steps or spd
+    cfg = A.AssimConfig(fields=tuple(args.fields.split(",")),
+                        obs_field="T_s", obs_err=args.obs_sigma,
+                        loc_radius_km=args.radius_km,
+                        inflation=args.inflation, solver=args.solver)
+
+    # truth: the unperturbed init plus a smooth displacement the ensemble
+    # does not know about (zonally banded warm anomaly) — the signal the
+    # filter must recover from point observations
+    anom = (args.displace_k
+            * jnp.cos(jnp.deg2rad(mdl.grid.lat_mesh))).astype(
+                truth.atmos.T_s.dtype)
+    truth = dataclasses.replace(truth, atmos=dataclasses.replace(
+        truth.atmos, T_s=truth.atmos.T_s + anom))
+    truth = dataclasses.replace(truth, ocean=dataclasses.replace(
+        truth.ocean, sst=jnp.where(mdl.static.land_mask == 0,
+                                   truth.ocean.sst + anom,
+                                   truth.ocean.sst)))
+
+    # ensemble around the UNdisplaced init; every member perturbed (unlike
+    # init_ensemble's member-0 convention — no member may equal the truth)
+    base = M.init_world(mdl)
+    keys = jax.vmap(jax.random.fold_in, in_axes=(None, 0))(
+        jax.random.fold_in(base.rng, args.seed + 1),
+        jnp.arange(args.members, dtype=jnp.uint32))
+    amps = jnp.full((args.members,), args.perturb_k, base.atmos.T_s.dtype)
+    ens = jax.vmap(E.perturb_member, in_axes=(None, 0, 0, None))(
+        base, keys, amps, mdl.static.land_mask)
+    free = ens if not args.no_free_baseline else None
+
+    chunk = jax.jit(M.make_chunk_fn(mdl, cyc))
+    echunk = jax.jit(E.make_ensemble_chunk_fn(mdl, cyc))
+    analysis = jax.jit(A.make_analysis_fn(mdl, cfg, args.obs_count))
+    w = mdl.grid.area_w
+    key = jax.random.PRNGKey(args.seed)
+
+    t0 = time.time()
+    series = []
+    for c in range(args.cycles):
+        truth, _ = chunk(truth)
+        ens, _ = echunk(ens)
+        if free is not None:
+            free, _ = echunk(free)
+        key, k_net, k_noise = jax.random.split(key, 3)
+        obs_cell = A.draw_obs_network(k_net, mdl, args.obs_count)
+        y = A.synthetic_obs(k_noise, truth, obs_cell, cfg.obs_field,
+                            cfg.obs_err)
+        rmse_b = float(A.rmse_to_truth(ens, truth, "T_s", w))
+        spread_b = float(A.ensemble_spread(ens, "T_s", w))
+        ens = analysis(ens, y, obs_cell)
+        rmse_a = float(A.rmse_to_truth(ens, truth, "T_s", w))
+        row = {"cycle": c, "rmse_b_K": round(rmse_b, 4),
+               "rmse_a_K": round(rmse_a, 4), "spread_K": round(spread_b, 4)}
+        if free is not None:
+            row["rmse_free_K"] = round(
+                float(A.rmse_to_truth(free, truth, "T_s", w)), 4)
+        series.append(row)
+        if not args.json:
+            print(f"[Assim] {row}", flush=True)
+    wall = time.time() - t0
+
+    summary = {
+        "metric": "letkf_osse",
+        "grid": f"{args.nlat}x{args.nlon}",
+        "members": args.members,
+        "cycles": args.cycles,
+        "cycle_steps": cyc,
+        "obs_count": args.obs_count,
+        "obs_sigma_K": args.obs_sigma,
+        "radius_km": args.radius_km,
+        "inflation": args.inflation,
+        "solver": args.solver,
+        "rmse_a_final_K": series[-1]["rmse_a_K"],
+        "rmse_free_final_K": series[-1].get("rmse_free_K"),
+        "series": series,
+        "wall_s": round(wall, 1),
+    }
+    print(json.dumps(summary))
+    return summary
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,261 @@
+"""LETKF data assimilation (qingdai_tpu/assim.py).
+
+Algebraic verification against the exact Kalman-filter update (the ETKF is
+the Kalman filter restricted to the ensemble subspace — with no
+localization and sample covariance Pb = X'X'ᵀ/(k−1) the analysis mean and
+covariance must match the closed-form KF formulas exactly in f64), the
+Newton–Schulz inverse-sqrt against eigh, localization support, guard
+projection, and an end-to-end analysis cycle on the real coupled model.
+
+Beyond-reference capability: the reference has no ensemble and no
+assimilation machinery of any kind (single NumPy loop,
+/root/reference/scripts/run_simulation.py:1760-2490).
+"""
+
+import dataclasses
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from qingdai_tpu import assim as A
+
+
+def _rand_spd(rng, batch, k, cond=100.0):
+    q, _ = np.linalg.qr(rng.normal(size=(batch, k, k)))
+    lam = np.exp(rng.uniform(0, np.log(cond), size=(batch, k)))
+    return np.einsum("bij,bj,bkj->bik", q, lam, q)
+
+
+def test_gaspari_cohn_properties():
+    r = jnp.asarray([0.0, 0.5, 1.0, 1.5, 1.999, 2.0, 3.0])
+    g = np.asarray(A.gaspari_cohn(r))
+    assert g[0] == pytest.approx(1.0)
+    assert np.all(np.diff(g) <= 1e-12)          # monotone decreasing
+    assert np.all(g[-2:] == 0.0)                # compact support at 2c
+    assert np.all((g >= 0) & (g <= 1))
+    # continuity at the r=1 knot
+    eps = 1e-6
+    lo, hi = A.gaspari_cohn(jnp.asarray(1.0 - eps)), A.gaspari_cohn(
+        jnp.asarray(1.0 + eps))
+    assert abs(float(lo) - float(hi)) < 1e-4
+
+
+def test_newton_schulz_matches_eigh():
+    rng = np.random.default_rng(0)
+    Amat = jnp.asarray(_rand_spd(rng, 16, 12, cond=1e4))
+    inv_ns, isq_ns = A.inv_and_inv_sqrt_psd(Amat, iters=40)
+    inv_e, isq_e = A._inv_and_inv_sqrt_eigh(Amat)
+    np.testing.assert_allclose(np.asarray(inv_ns), np.asarray(inv_e),
+                               rtol=1e-8, atol=1e-12)
+    np.testing.assert_allclose(np.asarray(isq_ns), np.asarray(isq_e),
+                               rtol=1e-8, atol=1e-12)
+
+
+def _synthetic_ensemble(rng, k=24, F=2, C=9):
+    X = jnp.asarray(rng.normal(10.0, 2.0, size=(k, F, C)))
+    lat = jnp.asarray(np.linspace(-60, 60, C))
+    lon = jnp.asarray(np.linspace(0, 320, C))
+    return X, lat, lon
+
+
+@pytest.mark.parametrize("solver", ["eigh", "ns"])
+def test_global_etkf_matches_kalman(solver):
+    """No localization: ETKF mean == x̄ + K(y − Hx̄), cov == (I−KH)Pb with
+    Pb the sample covariance — the textbook identity, checked in f64."""
+    rng = np.random.default_rng(1)
+    k, F, C = 24, 2, 9
+    X, lat, lon = _synthetic_ensemble(rng, k, F, C)
+    p = 5
+    obs_cell = jnp.asarray(rng.choice(C, p, replace=False))
+    obs_fidx = jnp.asarray(rng.integers(0, F, p), jnp.int32)
+    r = 0.8
+    y = jnp.asarray(rng.normal(10.0, 2.0, size=p))
+
+    Xa = A.letkf_analysis(X, y, obs_cell, obs_fidx, lat, lon, obs_err=r,
+                          loc_radius_km=0.0, inflation=1.0, solver=solver,
+                          ns_iters=60)
+
+    # exact KF on the flattened state
+    Xf = np.asarray(X, np.float64).reshape(k, F * C)
+    xbar = Xf.mean(0)
+    Xp = Xf - xbar
+    Pb = Xp.T @ Xp / (k - 1)
+    H = np.zeros((p, F * C))
+    gidx = np.asarray(obs_fidx) * C + np.asarray(obs_cell)
+    H[np.arange(p), gidx] = 1.0
+    R = np.eye(p) * r**2
+    K = Pb @ H.T @ np.linalg.inv(H @ Pb @ H.T + R)
+    mean_kf = xbar + K @ (np.asarray(y) - H @ xbar)
+    Pa_kf = (np.eye(F * C) - K @ H) @ Pb
+
+    Xa_f = np.asarray(Xa, np.float64).reshape(k, F * C)
+    np.testing.assert_allclose(Xa_f.mean(0), mean_kf, rtol=1e-9, atol=1e-9)
+    Xap = Xa_f - Xa_f.mean(0)
+    np.testing.assert_allclose(Xap.T @ Xap / (k - 1), Pa_kf,
+                               rtol=1e-7, atol=1e-9)
+
+
+def test_analysis_deviations_stay_zero_mean():
+    """The symmetric square-root transform preserves zero-mean deviations
+    (W·1 = √α·1 — module docstring), so mean(Xa) == x̄ + X'w̄ exactly."""
+    rng = np.random.default_rng(2)
+    X, lat, lon = _synthetic_ensemble(rng)
+    p = 4
+    obs_cell = jnp.asarray([0, 3, 5, 8])
+    obs_fidx = jnp.zeros(p, jnp.int32)
+    y = jnp.asarray(rng.normal(10.0, 1.0, p))
+    Xa = A.letkf_analysis(X, y, obs_cell, obs_fidx, lat, lon,
+                          loc_radius_km=3000.0, inflation=1.08)
+    Xa = np.asarray(Xa)
+    # remove the mean: deviations of the analysis must sum to ~0 per (F, C)
+    dev_sum = np.abs((Xa - Xa.mean(0)).sum(0)).max()
+    assert dev_sum < 1e-8 * np.abs(Xa).max()
+
+
+def test_localization_zeroes_far_updates():
+    rng = np.random.default_rng(3)
+    k, F, C = 12, 1, 10
+    X = jnp.asarray(rng.normal(0.0, 1.0, size=(k, F, C)))
+    # cells along the equator, 0..324 degrees apart → >10000 km for most
+    lat = jnp.zeros(C)
+    lon = jnp.asarray(np.arange(C) * 36.0)
+    y = jnp.asarray([5.0])
+    obs_cell = jnp.asarray([0])
+    obs_fidx = jnp.zeros(1, jnp.int32)
+    Xa = A.letkf_analysis(X, y, obs_cell, obs_fidx, lat, lon, obs_err=0.5,
+                          loc_radius_km=1000.0, inflation=1.0)
+    upd = np.abs(np.asarray(Xa - X)).max(axis=(0, 1))   # per cell
+    # obs cell updated, antipodal cells untouched (GC support = 2000 km;
+    # 36° along the equator is ~4000 km). With ρ=0 the transform is exactly
+    # the identity up to solver roundoff, so "untouched" = machine epsilon.
+    assert upd[0] > 0.1
+    assert np.all(upd[3:8] < 1e-12)
+    # and the observed cell moved toward the observation
+    m_b = float(np.asarray(X[:, 0, 0]).mean())
+    m_a = float(np.asarray(Xa[:, 0, 0]).mean())
+    assert abs(m_a - 5.0) < abs(m_b - 5.0)
+
+
+def test_inflation_increases_spread():
+    rng = np.random.default_rng(4)
+    X, lat, lon = _synthetic_ensemble(rng)
+    p, obs_cell = 2, jnp.asarray([1, 4])
+    obs_fidx = jnp.zeros(p, jnp.int32)
+    y = jnp.asarray(rng.normal(10.0, 1.0, p))
+    kw = dict(obs_err=1.0, loc_radius_km=0.0)
+    Xa1 = A.letkf_analysis(X, y, obs_cell, obs_fidx, lat, lon,
+                           inflation=1.0, **kw)
+    Xa2 = A.letkf_analysis(X, y, obs_cell, obs_fidx, lat, lon,
+                           inflation=1.3, **kw)
+    s1 = float(np.asarray(Xa1).std(axis=0).mean())
+    s2 = float(np.asarray(Xa2).std(axis=0).mean())
+    assert s2 > s1
+
+
+# ---------------------------------------------------------------------------
+# end-to-end on the real coupled model
+# ---------------------------------------------------------------------------
+
+def _build(n_lat=19, n_lon=36, **env):
+    import os
+    from qingdai_tpu import model as M
+    from qingdai_tpu import topography as topo
+    from qingdai_tpu.config import SimConfig
+    old = {}
+    env.setdefault("QD_N_LAT", str(n_lat))
+    env.setdefault("QD_N_LON", str(n_lon))
+    for kk, vv in env.items():
+        old[kk] = os.environ.get(kk)
+        os.environ[kk] = str(vv)
+    try:
+        cfg = SimConfig.from_env()
+    finally:
+        for kk, vv in old.items():
+            if vv is None:
+                os.environ.pop(kk, None)
+            else:
+                os.environ[kk] = vv
+    lat = np.linspace(-90, 90, n_lat)
+    lon = np.linspace(0, 360, n_lon)
+    lon_mesh, lat_mesh = np.meshgrid(lon, lat)
+    mask, elev = topo.create_land_sea_mask(lat_mesh, lon_mesh, seed=42)
+    alb, fric = topo.generate_base_properties(mask, elev, lat_mesh)
+    return M.build_model(cfg, mask, alb, fric, elevation=elev)
+
+
+def test_analysis_cycle_on_coupled_model():
+    """One background→analysis cycle on the real 19×36 coupled model: the
+    analysis pulls the ensemble mean toward a displaced truth, respects the
+    physical guards, and leaves land SST untouched."""
+    from qingdai_tpu import ensemble as E
+    from qingdai_tpu import model as M
+
+    mdl = _build()
+    cfg = A.AssimConfig(fields=("T_s", "sst", "h", "q"), obs_field="T_s",
+                        obs_err=0.5, loc_radius_km=4000.0, inflation=1.05)
+
+    truth = M.init_world(mdl)
+    # displaced truth: a smooth warm anomaly the ensemble doesn't know about
+    lat_w = jnp.cos(jnp.deg2rad(mdl.grid.lat_mesh))
+    anom = (3.0 * lat_w).astype(truth.atmos.T_s.dtype)
+    truth = dataclasses.replace(truth, atmos=dataclasses.replace(
+        truth.atmos, T_s=truth.atmos.T_s + anom))
+
+    ens = E.init_ensemble(mdl, n_members=8, perturb_k=0.5)
+    chunk = jax.jit(M.make_chunk_fn(mdl, 12))
+    echunk = jax.jit(E.make_ensemble_chunk_fn(mdl, 12))
+    truth, _ = chunk(truth)
+    ens, _ = echunk(ens)
+
+    n_obs = 40
+    key = jax.random.PRNGKey(0)
+    obs_cell = A.draw_obs_network(key, mdl, n_obs, cfg.obs_field)
+    y = A.synthetic_obs(jax.random.fold_in(key, 1), truth, obs_cell,
+                        cfg.obs_field, cfg.obs_err)
+
+    analysis = jax.jit(A.make_analysis_fn(mdl, cfg, n_obs))
+    sst_b = np.asarray(ens.ocean.sst)
+    ens_a = analysis(ens, y, obs_cell)
+
+    w = mdl.grid.area_w
+    rmse_b = float(A.rmse_to_truth(ens, truth, "T_s", w))
+    rmse_a = float(A.rmse_to_truth(ens_a, truth, "T_s", w))
+    assert np.isfinite(rmse_a)
+    assert rmse_a < rmse_b, (rmse_a, rmse_b)
+
+    # physical guards hold after the (unconstrained) linear update
+    assert float(jnp.min(ens_a.atmos.q)) >= 0.0
+    ts = np.asarray(ens_a.atmos.T_s)
+    assert ts.min() >= 150.0 and ts.max() <= 400.0
+    # ocean-only field: land cells keep their background placeholder values
+    land = np.asarray(mdl.static.land_mask) == 1
+    np.testing.assert_array_equal(np.asarray(ens_a.ocean.sst)[:, land],
+                                  sst_b[:, land])
+    # the analysis state still advances through the model (finite physics)
+    ens_next, ed = echunk(ens_a)
+    assert np.all(np.isfinite(np.asarray(ed["Ts_mean"])))
+
+
+def test_multivariate_update_through_cross_covariance():
+    """Observing T_s must update SST over open ocean through the ensemble
+    cross-covariance (T_s and SST perturbations are correlated by
+    construction in init_ensemble — ensemble.py perturb_member)."""
+    from qingdai_tpu import ensemble as E
+
+    mdl = _build()
+    cfg = A.AssimConfig(fields=("T_s", "sst"), obs_field="T_s",
+                        obs_err=0.2, loc_radius_km=6000.0, inflation=1.0)
+    ens = E.init_ensemble(mdl, n_members=8, perturb_k=1.0)
+    n_obs = 30
+    key = jax.random.PRNGKey(7)
+    obs_cell = A.draw_obs_network(key, mdl, n_obs)
+    # observations displaced +2 K from the ensemble-mean background
+    Xb = A.gather_fields(ens, cfg.fields)
+    y = Xb[:, 0].reshape(8, -1).mean(0)[obs_cell] + 2.0
+    analysis = jax.jit(A.make_analysis_fn(mdl, cfg, n_obs))
+    ens_a = analysis(ens, y, obs_cell)
+    land = np.asarray(mdl.static.land_mask)
+    d_sst = np.abs(np.asarray(ens_a.ocean.sst - ens.ocean.sst).mean(0))
+    assert d_sst[land == 0].max() > 0.01
