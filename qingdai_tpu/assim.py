@@ -116,6 +116,12 @@ class AssimConfig:
     loc_radius_km: float = 2000.0  # GC localization radius c (support 2c);
     #                                0 disables localization (global ETKF)
     inflation: float = 1.04       # multiplicative prior-covariance inflation
+    rtps: float = 0.6             # relaxation-to-prior-spread α (Whitaker &
+    #                               Hamill 2012): analysis deviations are
+    #                               rescaled per cell toward the background
+    #                               spread, the standard cure for the spread
+    #                               collapse small ensembles suffer under
+    #                               dense obs. 0 disables.
     solver: str = "ns"            # "ns" (Newton–Schulz) | "eigh"
     ns_iters: int = 25
 
@@ -192,7 +198,8 @@ def _inv_and_inv_sqrt_eigh(A):
 
 def letkf_analysis(X, y, obs_cell, obs_field_idx, cell_lat, cell_lon,
                    obs_err=1.0, loc_radius_km=2000.0, inflation=1.04,
-                   planet_radius_m=6.371e6, solver="ns", ns_iters=25):
+                   rtps=0.0, planet_radius_m=6.371e6, solver="ns",
+                   ns_iters=25):
     """LETKF analysis of a flat ensemble. Jittable; static shapes throughout.
 
     Args:
@@ -208,6 +215,12 @@ def letkf_analysis(X, y, obs_cell, obs_field_idx, cell_lat, cell_lon,
       inflation: multiplicative prior-covariance inflation α (applied as
         (k−1)/α in ensemble space — equivalent to X' ← √α X' before the
         update, without touching the model state).
+      rtps: relaxation-to-prior-spread coefficient (Whitaker & Hamill
+        2012): per cell and field the analysis deviations are scaled by
+        (α·σ_b + (1−α)·σ_a)/σ_a, pulling the posterior spread back toward
+        the background's. Counteracts the spread collapse that makes small
+        ensembles stop listening to observations after a few dense-obs
+        cycles. 0 disables; the analysis MEAN is untouched either way.
       solver: "ns" (Newton–Schulz, MXU) or "eigh" (reference).
 
     Returns analysis ensemble [k, F, C].
@@ -255,6 +268,13 @@ def letkf_analysis(X, y, obs_cell, obs_field_idx, cell_lat, cell_lon,
     # x_i^a = x̄ + X'(w̄ + W e_i): per-cell [k]-matvec batched over (F, C)
     incr_mean = jnp.einsum("nfc,cn->fc", Xp, wbar)   # [F, C]
     pert = jnp.einsum("nfc,cni->ifc", Xp, W)         # [k, F, C]
+    if rtps and rtps > 0.0:
+        # W is symmetric-sqrt so pert is exactly zero-mean: std == rms
+        sig_b = jnp.sqrt(jnp.mean(Xp * Xp, axis=0))   # [F, C]
+        sig_a = jnp.sqrt(jnp.mean(pert * pert, axis=0))
+        scale = (rtps * sig_b + (1.0 - rtps) * sig_a) / jnp.maximum(
+            sig_a, 1e-12)
+        pert = pert * scale[None]
     return xbar[None] + incr_mean[None] + pert
 
 
@@ -301,7 +321,7 @@ def make_analysis_fn(model, cfg: AssimConfig, n_obs: int):
             X, y, obs_cell,
             jnp.full((n_obs,), fidx, jnp.int32), lat, lon,
             obs_err=cfg.obs_err, loc_radius_km=cfg.loc_radius_km,
-            inflation=cfg.inflation,
+            inflation=cfg.inflation, rtps=cfg.rtps,
             planet_radius_m=const.PLANET_RADIUS,
             solver=cfg.solver, ns_iters=cfg.ns_iters)
         return scatter_fields(ens_state, fields, Xa.reshape(k, F, H, W), land)

@@ -3,12 +3,23 @@
 
 An Observing-System Simulation Experiment on the full coupled planet: a
 "truth" run generates synthetic point observations of T_s each cycle; an
-ensemble that starts displaced from the truth is advanced in one vmapped
-scan chunk (qingdai_tpu/ensemble.py) and corrected by the LETKF analysis
-(qingdai_tpu/assim.py) at every cycle boundary. A free-running ensemble
-(same members, no assimilation) is the control. The assimilated ensemble
-mean must track the truth; the free ensemble drifts with the initial
-displacement — the standard demonstration that the filter works end to end.
+ensemble is advanced in one vmapped scan chunk (qingdai_tpu/ensemble.py)
+and corrected by the LETKF analysis (qingdai_tpu/assim.py) at every cycle
+boundary. A free-running ensemble (same members, no assimilation) is the
+control. The assimilated ensemble mean must track the truth closer than
+the free ensemble — the standard demonstration that the filter works.
+
+Two truth designs (--truth-mode):
+  chaos (default): the truth is the SAME model started from an initial
+    state perturbed at the same tiny amplitude as the members; a burn-in
+    (--burnin-cycles) lets the coupled dynamics chaotically decorrelate
+    truth from ensemble to their climatological separation before cycling
+    starts. The error signal does not decay on its own, so the
+    assimilated-vs-free gap isolates the filter's skill.
+  displace: the truth carries a smooth +3 K zonal anomaly the ensemble
+    does not know about (the original design). The anomaly relaxes back
+    toward the attractor over a few days, so the free control converges
+    too — useful as a large-increment smoke test, not a skill measure.
 
 The reference has no ensemble, no adjoint, and no assimilation machinery
 (one NumPy loop: /root/reference/scripts/run_simulation.py:1760-2490);
@@ -50,12 +61,23 @@ def main(argv=None):
     p.add_argument("--radius-km", type=float, default=2000.0,
                    help="Gaspari-Cohn localization radius (0 = global ETKF)")
     p.add_argument("--inflation", type=float, default=1.04)
-    p.add_argument("--fields", default="T_s,sst,h,q",
+    p.add_argument("--rtps", type=float, default=0.6,
+                   help="relaxation-to-prior-spread coefficient (0 = off)")
+    p.add_argument("--fields", default="T_s,sst,h,q,u,v",
                    help="comma-separated assimilated fields")
     p.add_argument("--perturb-k", type=float, default=1.0,
                    help="ensemble initial displacement amplitude (K)")
+    p.add_argument("--truth-mode", default="chaos",
+                   choices=["chaos", "displace"])
+    p.add_argument("--warmup-days", type=int, default=0,
+                   help="advance the base state this many days before the "
+                        "experiment (out of the damped cold-start "
+                        "transient; ~0.1 s/day on TPU at 181x360)")
+    p.add_argument("--burnin-cycles", type=int, default=5,
+                   help="chaos mode: cycles of free decorrelation before "
+                        "assimilation starts")
     p.add_argument("--displace-k", type=float, default=3.0,
-                   help="truth displacement the ensemble must recover (K)")
+                   help="displace mode: truth anomaly amplitude (K)")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--solver", default="ns", choices=["ns", "eigh"])
     p.add_argument("--no-free-baseline", action="store_true",
@@ -70,43 +92,66 @@ def main(argv=None):
     from qingdai_tpu import ensemble as E
     from qingdai_tpu import model as M
 
-    mdl, truth = _build_world(args.nlat, args.nlon)
+    mdl, base = _build_world(args.nlat, args.nlon)
     spd = int(round(mdl.day_seconds / mdl.dt))
     cyc = args.cycle_steps or spd
     cfg = A.AssimConfig(fields=tuple(args.fields.split(",")),
                         obs_field="T_s", obs_err=args.obs_sigma,
                         loc_radius_km=args.radius_km,
-                        inflation=args.inflation, solver=args.solver)
+                        inflation=args.inflation, rtps=args.rtps,
+                        solver=args.solver)
 
-    # truth: the unperturbed init plus a smooth displacement the ensemble
-    # does not know about (zonally banded warm anomaly) — the signal the
-    # filter must recover from point observations
-    anom = (args.displace_k
-            * jnp.cos(jnp.deg2rad(mdl.grid.lat_mesh))).astype(
-                truth.atmos.T_s.dtype)
-    truth = dataclasses.replace(truth, atmos=dataclasses.replace(
-        truth.atmos, T_s=truth.atmos.T_s + anom))
-    truth = dataclasses.replace(truth, ocean=dataclasses.replace(
-        truth.ocean, sst=jnp.where(mdl.static.land_mask == 0,
-                                   truth.ocean.sst + anom,
-                                   truth.ocean.sst)))
+    chunk = jax.jit(M.make_chunk_fn(mdl, cyc))
 
-    # ensemble around the UNdisplaced init; every member perturbed (unlike
-    # init_ensemble's member-0 convention — no member may equal the truth)
-    base = M.init_world(mdl)
+    # warm-up: advance the base state out of the damped cold-start
+    # transient before the experiment starts. From the smooth init,
+    # perturbations DECAY (the flow has no eddies yet and the thermal
+    # fields relax toward equilibrium), so a truth/ensemble pair separates
+    # only while weather is active — measured 2026-08-20: 12 OSSE cycles
+    # straight from init show the free-run error shrinking on its own.
+    for _ in range(args.warmup_days * spd // cyc):
+        base, _ = chunk(base)
+
+    truth = base
+    if args.truth_mode == "displace":
+        # truth: the unperturbed init plus a smooth displacement the
+        # ensemble does not know about (zonally banded warm anomaly)
+        anom = (args.displace_k
+                * jnp.cos(jnp.deg2rad(mdl.grid.lat_mesh))).astype(
+                    truth.atmos.T_s.dtype)
+        truth = dataclasses.replace(truth, atmos=dataclasses.replace(
+            truth.atmos, T_s=truth.atmos.T_s + anom))
+        truth = dataclasses.replace(truth, ocean=dataclasses.replace(
+            truth.ocean, sst=jnp.where(mdl.static.land_mask == 0,
+                                       truth.ocean.sst + anom,
+                                       truth.ocean.sst)))
+    else:
+        # chaos mode: truth is a tiny perturbation of the same base — the
+        # burn-in below separates it from the ensemble chaotically
+        truth = E.perturb_member(
+            base, jax.random.PRNGKey(args.seed + 777),
+            jnp.asarray(args.perturb_k, base.atmos.T_s.dtype),
+            mdl.static.land_mask)  # (also forks truth's rng stream)
+
+    # ensemble; every member perturbed (unlike init_ensemble's member-0
+    # convention — no member may equal the truth)
     keys = jax.vmap(jax.random.fold_in, in_axes=(None, 0))(
         jax.random.fold_in(base.rng, args.seed + 1),
         jnp.arange(args.members, dtype=jnp.uint32))
     amps = jnp.full((args.members,), args.perturb_k, base.atmos.T_s.dtype)
     ens = jax.vmap(E.perturb_member, in_axes=(None, 0, 0, None))(
         base, keys, amps, mdl.static.land_mask)
-    free = ens if not args.no_free_baseline else None
 
-    chunk = jax.jit(M.make_chunk_fn(mdl, cyc))
     echunk = jax.jit(E.make_ensemble_chunk_fn(mdl, cyc))
     analysis = jax.jit(A.make_analysis_fn(mdl, cfg, args.obs_count))
     w = mdl.grid.area_w
     key = jax.random.PRNGKey(args.seed)
+
+    burnin = args.burnin_cycles if args.truth_mode == "chaos" else 0
+    for _ in range(burnin):
+        truth, _ = chunk(truth)
+        ens, _ = echunk(ens)
+    free = ens if not args.no_free_baseline else None
 
     t0 = time.time()
     series = []
@@ -143,6 +188,10 @@ def main(argv=None):
         "obs_sigma_K": args.obs_sigma,
         "radius_km": args.radius_km,
         "inflation": args.inflation,
+        "rtps": args.rtps,
+        "truth_mode": args.truth_mode,
+        "warmup_days": args.warmup_days,
+        "burnin_cycles": burnin,
         "solver": args.solver,
         "rmse_a_final_K": series[-1]["rmse_a_K"],
         "rmse_free_final_K": series[-1].get("rmse_free_K"),

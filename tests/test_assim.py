@@ -138,6 +138,32 @@ def test_localization_zeroes_far_updates():
     assert abs(m_a - 5.0) < abs(m_b - 5.0)
 
 
+def test_rtps_preserves_mean_and_restores_spread():
+    """Relaxation-to-prior-spread rescales only the analysis deviations:
+    the mean is bit-identical, spread grows monotonically with α, and at
+    α=1 the per-cell posterior spread equals the prior's exactly."""
+    rng = np.random.default_rng(11)
+    X, lat, lon = _synthetic_ensemble(rng)
+    p = 6
+    obs_cell = jnp.asarray([0, 2, 3, 5, 7, 8])
+    obs_fidx = jnp.asarray([0, 1, 0, 1, 0, 1], jnp.int32)
+    y = jnp.asarray(rng.normal(10.0, 1.0, p))
+    kw = dict(obs_err=0.3, loc_radius_km=0.0, inflation=1.0)
+    Xa0 = np.asarray(A.letkf_analysis(X, y, obs_cell, obs_fidx, lat, lon,
+                                      rtps=0.0, **kw))
+    Xa5 = np.asarray(A.letkf_analysis(X, y, obs_cell, obs_fidx, lat, lon,
+                                      rtps=0.5, **kw))
+    Xa1 = np.asarray(A.letkf_analysis(X, y, obs_cell, obs_fidx, lat, lon,
+                                      rtps=1.0, **kw))
+    np.testing.assert_allclose(Xa5.mean(0), Xa0.mean(0), rtol=0, atol=1e-11)
+    np.testing.assert_allclose(Xa1.mean(0), Xa0.mean(0), rtol=0, atol=1e-11)
+    s0, s5, s1 = (Xa.std(axis=0, ddof=0) for Xa in (Xa0, Xa5, Xa1))
+    assert np.all(s5 >= s0 - 1e-12) and s5.mean() > s0.mean()
+    # α=1 restores the background spread per (field, cell) exactly
+    sb = np.asarray(X).std(axis=0, ddof=0)
+    np.testing.assert_allclose(s1, sb, rtol=1e-9, atol=1e-12)
+
+
 def test_inflation_increases_spread():
     rng = np.random.default_rng(4)
     X, lat, lon = _synthetic_ensemble(rng)
@@ -236,6 +262,52 @@ def test_analysis_cycle_on_coupled_model():
     # the analysis state still advances through the model (finite physics)
     ens_next, ed = echunk(ens_a)
     assert np.all(np.isfinite(np.asarray(ed["Ts_mean"])))
+
+
+def test_analysis_on_member_sharded_ensemble():
+    """The LETKF analysis of a member-sharded ensemble (the multi-chip DA
+    layout: members over devices, ensemble.make_member_mesh) reproduces the
+    unsharded analysis — GSPMD inserts the member-axis collectives for the
+    Y'ᵀρR⁻¹Y' contractions; the result must be a pure layout change."""
+    if jax.device_count() < 2:
+        pytest.skip("needs the multi-device virtual mesh")
+    from qingdai_tpu import ensemble as E
+
+    mdl = _build()
+    n = jax.device_count()
+    cfg = A.AssimConfig(fields=("T_s", "sst", "h", "q"), obs_field="T_s",
+                        obs_err=0.5, loc_radius_km=4000.0, inflation=1.05,
+                        rtps=0.6)
+    ens = E.init_ensemble(mdl, n_members=n, perturb_k=0.5)
+    n_obs = 40
+    key = jax.random.PRNGKey(3)
+    obs_cell = A.draw_obs_network(key, mdl, n_obs)
+    Xb = A.gather_fields(ens, cfg.fields)
+    y = Xb[:, 0].reshape(n, -1).mean(0)[obs_cell] + 1.0
+
+    analysis = jax.jit(A.make_analysis_fn(mdl, cfg, n_obs))
+    ref = analysis(ens, y, obs_cell)
+
+    mesh = E.make_member_mesh()
+    sharded = E.shard_ensemble(ens, mesh)
+    out = analysis(sharded, y, obs_cell)
+
+    for (pa, a), (_, b) in zip(
+            jax.tree_util.tree_flatten_with_path(jax.device_get(ref))[0],
+            jax.tree_util.tree_flatten_with_path(jax.device_get(out))[0]):
+        a, b = np.asarray(a), np.asarray(b)
+        name = jax.tree_util.keystr(pa)
+        if a.dtype.kind != "f":
+            np.testing.assert_array_equal(a, b, err_msg=name)
+            continue
+        fin = np.isfinite(a)
+        assert (fin == np.isfinite(b)).all(), name
+        if not fin.any():   # all-NaN sentinel leaves (eco caches over ocean)
+            continue
+        scale = max(1.0, float(np.abs(a[fin]).max()))
+        # member-axis psums reorder reductions: roundoff-level only
+        tol = 1e-6 if a.dtype == np.float32 else 1e-10
+        assert np.max(np.abs(a[fin] - b[fin])) / scale < tol, name
 
 
 def test_multivariate_update_through_cross_covariance():
