@@ -686,7 +686,7 @@ class PhytoConfig:
     N_init: float = 1.0
     init_frac: Optional[Tuple[float, ...]] = None
     init_random: bool = False      # QD_PHYTO_INIT_RANDOM (phyto.py:654-670)
-    dist_on_mismatch: str = "keep"  # QD_PLANKTON_DIST_ON_MISMATCH: keep|reset
+    dist_on_mismatch: str = "keep"  # QD_PLANKTON_DIST_ON_MISMATCH: keep|reset|random ('default'→reset)
     K_h: float = 5.0e3
     adv_alpha: float = 0.7
     diag: bool = True

@@ -255,19 +255,23 @@ class QingdaiWorld:
             if ok:
                 self.state = dataclasses.replace(self.state, phyto=ph_new)
                 self._log("[Phyto] plankton.nc load OK.")
-            elif cfg.phyto.dist_on_mismatch == "reset":
-                # shape mismatch → deterministic default re-init
-                # (reference load_distribution_nc on_mismatch='reset',
-                # phyto.py:946, 672-681)
+            elif cfg.phyto.dist_on_mismatch in ("reset", "random"):
+                # shape mismatch → re-init: 'reset' deterministic defaults,
+                # 'random' randomized distributions (reference
+                # load_distribution_nc on_mismatch='reset', phyto.py:946,
+                # 672-681; the NPZ-autosave path's vocabulary is
+                # 'random'/'default', phyto.py:614-623)
                 from .ecology import phyto as phyto_mod
+                randomize = cfg.phyto.dist_on_mismatch == "random"
                 _, ph0, _ = phyto_mod.build_phyto(
                     (cfg.run.n_lat, cfg.run.n_lon), self.land_mask,
-                    dataclasses.replace(cfg.phyto, init_random=False),
+                    dataclasses.replace(cfg.phyto, init_random=randomize),
                     cfg.ecology, cfg.ocean.H_m,
                     dtype=self.state.phyto.N.dtype)
                 self.state = dataclasses.replace(self.state, phyto=ph0)
-                self._log("[Phyto] plankton.nc shape mismatch — state reset "
-                          "to defaults.")
+                self._log("[Phyto] plankton.nc shape mismatch — state "
+                          + ("randomized." if randomize else
+                             "reset to defaults."))
             else:
                 self._log("[Phyto] plankton.nc load skipped/failed (keep).")
 

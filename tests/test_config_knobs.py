@@ -151,3 +151,16 @@ def test_build_world_extra_env_reaches_trace_time_gates(monkeypatch):
     from qingdai_tpu.config import SimConfig
     SimConfig.from_env()
     assert flags.enabled("QD_FF_SUMS")
+
+
+def test_plankton_dist_on_mismatch_vocabulary(monkeypatch):
+    """Reference vocabulary parity (ADVICE r2): the netCDF path accepts
+    keep|reset (phyto.py:672-681); the NPZ-autosave path's words are
+    'random'/'default' (phyto.py:614-623) — 'default' must alias reset,
+    'random' must survive as its own mode, anything else = keep."""
+    from qingdai_tpu.config import PhytoConfig
+    for env_val, expect in [("keep", "keep"), ("reset", "reset"),
+                            ("default", "reset"), ("RANDOM", "random"),
+                            ("bogus", "bogus")]:
+        monkeypatch.setenv("QD_PLANKTON_DIST_ON_MISMATCH", env_val)
+        assert PhytoConfig.from_env().dist_on_mismatch == expect.lower()
