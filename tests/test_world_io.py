@@ -220,3 +220,29 @@ def test_diag_gates_and_ocean_cadence(tiny_env, monkeypatch, capsys):
     assert "[WaterDiag]" not in out
     assert "[HumidityDiag]" in out          # still default-on
     assert out.count("[OceanDiag]") == 2    # gsteps 0 and 2 of the 4
+
+
+def test_plankton_mismatch_random_reinit(tiny_env, monkeypatch):
+    """World-level exercise of QD_PLANKTON_DIST_ON_MISMATCH=random: a
+    plankton.nc written with a different species count must trigger a
+    randomized re-init (reference NPZ-path 'random' semantics,
+    phyto.py:614-623), not a silent keep."""
+    from qingdai_tpu.world import QingdaiWorld
+    w = QingdaiWorld(verbose=False)
+    w.autosave()
+    assert os.path.exists(os.path.join("data", "plankton.nc"))
+
+    # next world expects 4 species -> the 3-species file mismatches
+    monkeypatch.setenv("QD_PHYTO_NSPECIES", "4")
+    monkeypatch.setenv("QD_AUTOSAVE_LOAD", "0")   # isolate the plankton path
+    monkeypatch.setenv("QD_PLANKTON_DIST_ON_MISMATCH", "random")
+    w_rand = QingdaiWorld(verbose=False)
+    monkeypatch.setenv("QD_PLANKTON_DIST_ON_MISMATCH", "reset")
+    w_reset = QingdaiWorld(verbose=False)
+
+    C_rand = np.asarray(w_rand.state.phyto.C_phyto)
+    C_reset = np.asarray(w_reset.state.phyto.C_phyto)
+    assert C_rand.shape[0] == 4 and C_reset.shape[0] == 4
+    # 'reset' is the deterministic default init; 'random' adds noise to it
+    assert np.isfinite(C_rand).all()
+    assert not np.allclose(C_rand, C_reset)
