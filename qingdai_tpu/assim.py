@@ -330,6 +330,151 @@ def make_analysis_fn(model, cfg: AssimConfig, n_obs: int):
 
 
 # ---------------------------------------------------------------------------
+# state-augmented parameter estimation
+# ---------------------------------------------------------------------------
+#
+# Append scalar physics parameters to the ensemble state vector and let the
+# ensemble cross-covariances between each member's parameter value and the
+# observed fields pull the parameter toward the value that explains the
+# observations (classic augmented-state EnKF parameter estimation, e.g.
+# Anderson 2001; Aksoy et al. 2006). Two pieces:
+#
+# - make_param_ensemble_chunk_fn: the forecast. Each member runs the SAME
+#   jitted chunk but with its own traced parameter value injected into the
+#   frozen config via adjoint.inject_path — the same injection machinery
+#   the adjoint window uses, lifted over the member axis by vmap. No
+#   recompilation per member: the parameter is a vmapped scalar input.
+# - letkf_param_analysis: the update. A GLOBAL (unlocalized) ensemble-space
+#   transform over all observations: a global parameter has no grid
+#   location, so Gaspari-Cohn weights are meaningless for it — the
+#   textbook treatment updates it with the full-domain innovation
+#   statistics while the state update stays localized.
+
+
+def make_param_ensemble_chunk_fn(model, param_names, chunk_steps=None,
+                                 day_aligned: bool = True):
+    """``chunk(ens_state, theta) -> (ens_state, diags)`` where ``theta``
+    is [k, n_params]: member i's forecast runs with parameter vector
+    theta[i] injected (aliases per adjoint.PARAM_ALIASES, e.g.
+    'gh_factor' -> cfg.energy.gh_factor)."""
+    import jax.tree_util  # noqa: F401  (vmap spec plumbing)
+    from . import model as M
+    from .adjoint import PARAM_ALIASES, inject_path
+    from .ensemble import (_broadcast_shared, _collapse_shared,
+                           _shared_axes_spec)
+    names = tuple(param_names)
+    paths = tuple(PARAM_ALIASES.get(p, p) for p in names)
+
+    def member_chunk(state, theta_row):
+        mdl = model
+        for j, path in enumerate(paths):
+            mdl = inject_path(mdl, path, theta_row[j])
+        return M.make_chunk_fn(mdl, chunk_steps, day_aligned)(state)
+
+    def ens_chunk(ens_state, theta):
+        n = theta.shape[0]
+        spec = _shared_axes_spec(ens_state)
+        state_in = _collapse_shared(spec, ens_state)
+        out_state, diags = jax.vmap(member_chunk, in_axes=(spec, 0),
+                                    out_axes=(spec, 0))(state_in, theta)
+        return _broadcast_shared(spec, out_state, n), diags
+
+    return ens_chunk
+
+
+def letkf_param_analysis(theta, Yp, d, obs_err, inflation=1.0, rtps=0.0,
+                         solver="ns", ns_iters=25):
+    """Global ensemble-space parameter update.
+
+    Args:
+      theta: per-member parameters [k] or [k, n_params].
+      Yp: obs-space background deviations of the STATE ensemble [k, p]
+          (the same H(X) − mean the state analysis uses — parameters are
+          not observed directly; they update through these
+          cross-covariances).
+      d: innovations y − H(x̄) [p].
+      obs_err: observation error std dev (scalar or [p]).
+      inflation: multiplicative prior inflation α ((k−1)/α in ensemble
+          space), applied to this update only.
+      rtps: relaxation-to-prior-spread for the parameter deviations —
+          without it the parameter spread collapses after a few cycles and
+          the estimate stops moving (the parameter has no model dynamics
+          to regenerate spread).
+
+    Returns theta^a of the same shape.
+    """
+    squeeze = theta.ndim == 1
+    th = theta[:, None] if squeeze else theta
+    k = th.shape[0]
+    dtype = Yp.dtype
+    th = th.astype(dtype)
+    p = d.shape[0]
+    rinv = 1.0 / (jnp.broadcast_to(jnp.asarray(obs_err, dtype), (p,)) ** 2)
+    C = (Yp * rinv[None, :]) @ Yp.T                       # [k, k]
+    A = C + (k - 1) / inflation * jnp.eye(k, dtype=dtype)
+    if solver == "eigh":
+        Ainv, Ainv_sqrt = _inv_and_inv_sqrt_eigh(A)
+    else:
+        Ainv, Ainv_sqrt = inv_and_inv_sqrt_psd(A[None], iters=ns_iters)
+        Ainv, Ainv_sqrt = Ainv[0], Ainv_sqrt[0]
+    wbar = Ainv @ ((Yp * (rinv * d)[None, :]).sum(axis=-1))   # [k]
+    W = jnp.sqrt(jnp.asarray(k - 1, dtype)) * Ainv_sqrt       # [k, k]
+    thbar = jnp.mean(th, axis=0)                              # [n]
+    Tp = th - thbar[None]                                     # [k, n]
+    incr = Tp.T @ wbar                                        # [n]
+    pert = jnp.einsum("ki,kn->in", W, Tp)                     # [k, n]
+    if rtps and rtps > 0.0:
+        sig_b = jnp.sqrt(jnp.mean(Tp * Tp, axis=0))
+        sig_a = jnp.sqrt(jnp.mean(pert * pert, axis=0))
+        scale = (rtps * sig_b + (1.0 - rtps) * sig_a) / jnp.maximum(
+            sig_a, 1e-20)
+        pert = pert * scale[None]
+    out = (thbar + incr)[None] + pert
+    out = out.astype(theta.dtype)
+    return out[:, 0] if squeeze else out
+
+
+def make_augmented_analysis_fn(model, cfg: AssimConfig, n_obs: int,
+                               param_rtps: Optional[float] = None):
+    """Jittable ``analysis(ens_state, theta, y, obs_cell) ->
+    (ens_state, theta)``: the localized per-cell state LETKF of
+    make_analysis_fn plus the global augmented-parameter update, sharing
+    one obs-space background."""
+    from . import constants as const
+    fields = tuple(cfg.fields)
+    fidx = fields.index(cfg.obs_field)
+    lat = model.grid.lat_mesh.reshape(-1)
+    lon = model.grid.lon_mesh.reshape(-1)
+    land = model.static.land_mask
+    prtps = cfg.rtps if param_rtps is None else param_rtps
+
+    def analysis(ens_state: WorldState, theta: jax.Array, y: jax.Array,
+                 obs_cell: jax.Array):
+        Xf = gather_fields(ens_state, fields)        # [k, F, H, W]
+        k, F, H, W = Xf.shape
+        X = Xf.reshape(k, F, H * W)
+        # obs-space background shared by both updates
+        xbar = jnp.mean(X, axis=0)
+        gidx = fidx * (H * W) + obs_cell
+        Yp = (X - xbar[None]).reshape(k, -1)[:, gidx]
+        d = y.astype(X.dtype) - xbar.reshape(-1)[gidx]
+        Xa = letkf_analysis(
+            X, y, obs_cell,
+            jnp.full((n_obs,), fidx, jnp.int32), lat, lon,
+            obs_err=cfg.obs_err, loc_radius_km=cfg.loc_radius_km,
+            inflation=cfg.inflation, rtps=cfg.rtps,
+            planet_radius_m=const.PLANET_RADIUS,
+            solver=cfg.solver, ns_iters=cfg.ns_iters)
+        th_a = letkf_param_analysis(
+            theta, Yp, d, cfg.obs_err, inflation=cfg.inflation,
+            rtps=prtps, solver=cfg.solver, ns_iters=cfg.ns_iters)
+        return (scatter_fields(ens_state, fields, Xa.reshape(k, F, H, W),
+                               land), th_a)
+
+    return analysis
+
+
+# ---------------------------------------------------------------------------
 # OSSE helpers (synthetic observing network over a truth state)
 # ---------------------------------------------------------------------------
 

@@ -95,6 +95,20 @@ def save_restart(path, grid_lat, grid_lon, state, land_mask,
         w("S_snow", land.S_snow)
         w("C_snow", land.C_snow)
         w("land_mask", land_mask)
+        # humidity/cloud flux caches as EXTRA variables: the reference's
+        # field-by-field tolerant loader ignores unknown names
+        # (run_simulation.py:161-183), so the schema stays interchangeable,
+        # while our own loader prefers these over the warm-cache bootstrap
+        # replay — a NetCDF-only resume then carries the exact caches and the
+        # first post-restart step cannot blend the legacy convergence-precip
+        # fallback at cold-start violence (the reference restart's
+        # `getattr(gcm, 'P_cond_flux_last', 0)` deluge, BASELINE.md year-45
+        # transient).
+        w("P_cond_flux_last", atmos.P_cond_flux_last)
+        w("E_flux_last", atmos.E_flux_last)
+        w("LH_last", atmos.LH_last)
+        w("LH_release_last", atmos.LH_release_last)
+        w("cloud_eff_last", atmos.cloud_eff_last)
         vts = ds.createVariable("t_seconds", "f8", ())
         vts[...] = float(t_seconds) if t_seconds is not None else 0.0
         ds.setncattr("title", "Qingdai GCM Restart")
@@ -137,7 +151,11 @@ def load_restart(path) -> dict:
         out["lon"] = r("lon")
         for name in ["u", "v", "h", "T_s", "cloud_cover", "q", "h_ice",
                      "uo", "vo", "eta", "Ts", "W_land", "S_snow", "C_snow",
-                     "land_mask"]:
+                     "land_mask",
+                     # extra flux-cache variables (absent in reference-written
+                     # files; written by save_restart above)
+                     "P_cond_flux_last", "E_flux_last", "LH_last",
+                     "LH_release_last", "cloud_eff_last"]:
             out[name] = r(name)
         try:
             out["t_seconds"] = float(np.asarray(ds.variables["t_seconds"][...]))
@@ -168,6 +186,14 @@ def apply_restart_to_state(state, rst, has_ocean=True):
                         lambda v: jnp.clip(v, 0.0, 1.0)),
         q=use("q", atmos.q),
         h_ice=use("h_ice", atmos.h_ice, lambda v: jnp.maximum(v, 0.0)),
+        P_cond_flux_last=use("P_cond_flux_last", atmos.P_cond_flux_last,
+                             lambda v: jnp.maximum(v, 0.0)),
+        E_flux_last=use("E_flux_last", atmos.E_flux_last,
+                        lambda v: jnp.maximum(v, 0.0)),
+        LH_last=use("LH_last", atmos.LH_last),
+        LH_release_last=use("LH_release_last", atmos.LH_release_last),
+        cloud_eff_last=use("cloud_eff_last", atmos.cloud_eff_last,
+                           lambda v: jnp.clip(v, 0.0, 1.0)),
     )
     ocean = state.ocean
     if has_ocean and ocean is not None:
@@ -553,7 +579,10 @@ def save_plankton_nc(path, grid_lat, grid_lon, phyto_state, ps, bands,
 
 def load_plankton_nc(path, phyto_state, ps) -> tuple:
     """Apply plankton.nc distributions if shapes match (phyto.py:942-1000).
-    Returns (phyto_state, ok)."""
+    Returns (phyto_state, status) with status in {"ok", "read_error",
+    "mismatch"} — the reference resets state only on a genuine dims
+    mismatch (phyto.py:946-981) and keeps it on a read failure, so the
+    caller must be able to tell the two apart."""
     import dataclasses
     import jax.numpy as jnp
     try:
@@ -570,11 +599,11 @@ def load_plankton_nc(path, phyto_state, ps) -> tuple:
             N = r("N")
     except OSError as e:
         print(f"[Phyto] load distribution failed: {e}")
-        return phyto_state, False
+        return phyto_state, "read_error"
     shape = _np(phyto_state.N).shape
     dtype = _np(phyto_state.N).dtype
     if C is None or C.ndim != 3 or C.shape[1:] != shape or C.shape[0] != ps.S:
-        return phyto_state, False
+        return phyto_state, "mismatch"
     ocean = _np(ps.ocean)
     C = np.where(ocean[None], np.clip(C, 0.0, np.inf), 0.0).astype(dtype)
     new = dataclasses.replace(phyto_state, C_phyto=jnp.asarray(C))
@@ -586,4 +615,4 @@ def load_plankton_nc(path, phyto_state, ps) -> tuple:
         new = dataclasses.replace(new, Kd_490=jnp.asarray(np.clip(kd, 0, np.inf).astype(dtype)))
     if N is not None and N.shape == shape:
         new = dataclasses.replace(new, N=jnp.asarray(np.clip(N, 0, np.inf).astype(dtype)))
-    return new, True
+    return new, "ok"

@@ -205,6 +205,14 @@ class QingdaiWorld:
                 used_autosave = True
                 self._warn(f"[Autosave] 'data/atmosphere.nc' unreadable "
                            f"({e}); trying the full-pytree sidecar.")
+        if rst is not None and not cfg.run.restart_warm_caches:
+            # QD_RESTART_WARM_CACHES=0 means "emulate the reference restart
+            # exactly": its loader ignores our extra flux-cache variables
+            # (run_simulation.py:161-183) and restarts with zero caches, so
+            # drop them here too before they reach apply_restart_to_state
+            for k in ("P_cond_flux_last", "E_flux_last", "LH_last",
+                      "LH_release_last", "cloud_eff_last"):
+                rst[k] = None
         if rst is not None and rst.get("t_seconds") is not None:
             t0 = float(rst["t_seconds"])
         # NOTE: a restart saved at exactly t=0.0 still falls into the
@@ -250,11 +258,17 @@ class QingdaiWorld:
         if (cfg.run.load_plankton and self.state.phyto is not None
                 and os.path.exists(os.path.join("data", "plankton.nc"))):
             import dataclasses
-            ph_new, ok = ncio.load_plankton_nc(os.path.join("data", "plankton.nc"),
-                                               self.state.phyto, self.model.phyto_static)
-            if ok:
+            ph_new, status = ncio.load_plankton_nc(
+                os.path.join("data", "plankton.nc"),
+                self.state.phyto, self.model.phyto_static)
+            if status == "ok":
                 self.state = dataclasses.replace(self.state, phyto=ph_new)
                 self._log("[Phyto] plankton.nc load OK.")
+            elif status == "read_error":
+                # a transiently unreadable file is NOT a dims mismatch — the
+                # reference keeps state here (phyto.py:942-981 resets only on
+                # mismatch); re-initializing would destroy good state
+                self._log("[Phyto] plankton.nc unreadable — keeping state.")
             elif cfg.phyto.dist_on_mismatch in ("reset", "random"):
                 # shape mismatch → re-init: 'reset' deterministic defaults,
                 # 'random' randomized distributions (reference
@@ -334,7 +348,13 @@ class QingdaiWorld:
             self._warn("[Autosave] no usable checkpoint (atmosphere.nc "
                        "unreadable, sidecar absent/failed) — cold start.")
         if rst is not None and self.restore_source == "netcdf":
-            if self.cfg.run.restart_warm_caches:
+            if rst.get("P_cond_flux_last") is not None:
+                # the file carried the actual flux caches (extra variables we
+                # write into the reference schema) — already applied by
+                # apply_restart_to_state; better than any bootstrap replay
+                self._warn("[Restart] humidity flux caches restored from the "
+                           "restart file (exact resume; no bootstrap needed).")
+            elif self.cfg.run.restart_warm_caches:
                 self._bootstrap_flux_caches()
             else:
                 self._warn("[Restart] NetCDF-only restore with "

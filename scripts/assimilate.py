@@ -80,6 +80,20 @@ def main(argv=None):
                    help="displace mode: truth anomaly amplitude (K)")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--solver", default="ns", choices=["ns", "eigh"])
+    p.add_argument("--est-param", default=None,
+                   help="augmented-state parameter estimation: estimate this "
+                        "scalar physics parameter (alias per "
+                        "adjoint.PARAM_ALIASES, e.g. gh_factor) from the "
+                        "observations; the truth runs with --param-truth, "
+                        "the ensemble starts from N(--param-prior-mean, "
+                        "--param-prior-std) and is never told the truth")
+    p.add_argument("--param-truth", type=float, default=0.46)
+    p.add_argument("--param-prior-mean", type=float, default=0.34)
+    p.add_argument("--param-prior-std", type=float, default=0.04)
+    p.add_argument("--param-rtps", type=float, default=0.5,
+                   help="relaxation-to-prior-spread for the parameter "
+                        "deviations (parameters have no dynamics to "
+                        "regenerate spread)")
     p.add_argument("--no-free-baseline", action="store_true",
                    help="skip the free-running control ensemble")
     p.add_argument("--json", action="store_true")
@@ -101,7 +115,17 @@ def main(argv=None):
                         inflation=args.inflation, rtps=args.rtps,
                         solver=args.solver)
 
+    # warm-up runs the ensemble's (prior) model; the truth fork may carry a
+    # different parameter value (--est-param)
     chunk = jax.jit(M.make_chunk_fn(mdl, cyc))
+    if args.est_param:
+        from qingdai_tpu.adjoint import PARAM_ALIASES, inject_path
+        mdl_truth = inject_path(
+            mdl, PARAM_ALIASES.get(args.est_param, args.est_param),
+            jnp.asarray(args.param_truth, jnp.float32))
+        chunk_truth = jax.jit(M.make_chunk_fn(mdl_truth, cyc))
+    else:
+        chunk_truth = chunk
 
     # warm-up: advance the base state out of the damped cold-start
     # transient before the experiment starts. From the smooth init,
@@ -142,37 +166,65 @@ def main(argv=None):
     ens = jax.vmap(E.perturb_member, in_axes=(None, 0, 0, None))(
         base, keys, amps, mdl.static.land_mask)
 
-    echunk = jax.jit(E.make_ensemble_chunk_fn(mdl, cyc))
-    analysis = jax.jit(A.make_analysis_fn(mdl, cfg, args.obs_count))
+    theta = None
+    if args.est_param:
+        key_th = jax.random.PRNGKey(args.seed + 99)
+        theta = (args.param_prior_mean + args.param_prior_std
+                 * jax.random.normal(key_th, (args.members, 1), jnp.float32))
+        echunk = jax.jit(A.make_param_ensemble_chunk_fn(mdl,
+                                                        (args.est_param,),
+                                                        cyc))
+        analysis = jax.jit(A.make_augmented_analysis_fn(
+            mdl, cfg, args.obs_count, param_rtps=args.param_rtps))
+        fchunk = echunk          # free ensemble keeps its prior theta
+    else:
+        echunk = jax.jit(E.make_ensemble_chunk_fn(mdl, cyc))
+        analysis = jax.jit(A.make_analysis_fn(mdl, cfg, args.obs_count))
+        fchunk = echunk
     w = mdl.grid.area_w
     key = jax.random.PRNGKey(args.seed)
 
+    def advance(ens_state, th):
+        if args.est_param:
+            out, _ = echunk(ens_state, th)
+            return out
+        out, _ = echunk(ens_state)
+        return out
+
     burnin = args.burnin_cycles if args.truth_mode == "chaos" else 0
     for _ in range(burnin):
-        truth, _ = chunk(truth)
-        ens, _ = echunk(ens)
+        truth, _ = chunk_truth(truth)
+        ens = advance(ens, theta)
     free = ens if not args.no_free_baseline else None
+    theta_free = theta
 
     t0 = time.time()
     series = []
     for c in range(args.cycles):
-        truth, _ = chunk(truth)
-        ens, _ = echunk(ens)
+        truth, _ = chunk_truth(truth)
+        ens = advance(ens, theta)
         if free is not None:
-            free, _ = echunk(free)
+            free = advance(free, theta_free)
         key, k_net, k_noise = jax.random.split(key, 3)
         obs_cell = A.draw_obs_network(k_net, mdl, args.obs_count)
         y = A.synthetic_obs(k_noise, truth, obs_cell, cfg.obs_field,
                             cfg.obs_err)
         rmse_b = float(A.rmse_to_truth(ens, truth, "T_s", w))
         spread_b = float(A.ensemble_spread(ens, "T_s", w))
-        ens = analysis(ens, y, obs_cell)
+        if args.est_param:
+            ens, theta = analysis(ens, theta, y, obs_cell)
+        else:
+            ens = analysis(ens, y, obs_cell)
         rmse_a = float(A.rmse_to_truth(ens, truth, "T_s", w))
         row = {"cycle": c, "rmse_b_K": round(rmse_b, 4),
                "rmse_a_K": round(rmse_a, 4), "spread_K": round(spread_b, 4)}
         if free is not None:
             row["rmse_free_K"] = round(
                 float(A.rmse_to_truth(free, truth, "T_s", w)), 4)
+        if args.est_param:
+            th = np.asarray(theta)
+            row["param_mean"] = round(float(th.mean()), 6)
+            row["param_std"] = round(float(th.std()), 6)
         series.append(row)
         if not args.json:
             print(f"[Assim] {row}", flush=True)
@@ -198,6 +250,15 @@ def main(argv=None):
         "series": series,
         "wall_s": round(wall, 1),
     }
+    if args.est_param:
+        summary.update({
+            "est_param": args.est_param,
+            "param_truth": args.param_truth,
+            "param_prior_mean": args.param_prior_mean,
+            "param_prior_std": args.param_prior_std,
+            "param_final_mean": series[-1]["param_mean"],
+            "param_final_std": series[-1]["param_std"],
+        })
     print(json.dumps(summary))
     return summary
 

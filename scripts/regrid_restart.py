@@ -79,12 +79,16 @@ def main():
         # the new resolution; the schema field is kept as a nearest-ish
         # threshold for completeness only
         out[k] = (rg > 0.5).astype(np.float32) if k == "land_mask" else rg
-    # non-negative physical floors survive interpolation overshoot
-    for k in ("q", "h_ice", "W_land", "S_snow", "C_snow", "cloud_cover"):
+    # non-negative physical floors survive interpolation overshoot (the flux
+    # caches ride along so the regridded resume also skips the bootstrap)
+    for k in ("q", "h_ice", "W_land", "S_snow", "C_snow", "cloud_cover",
+              "P_cond_flux_last", "E_flux_last", "LH_last",
+              "LH_release_last", "cloud_eff_last"):
         if k in out:
             out[k] = np.maximum(out[k], 0.0)
-    if "cloud_cover" in out:
-        out["cloud_cover"] = np.minimum(out["cloud_cover"], 1.0)
+    for k in ("cloud_cover", "cloud_eff_last"):
+        if k in out:
+            out[k] = np.minimum(out[k], 1.0)
 
     os.makedirs(os.path.dirname(args.dst) or ".", exist_ok=True)
     ncio.save_restart_fields(args.dst, lat_dst, lon_dst, out,

@@ -331,3 +331,104 @@ def test_multivariate_update_through_cross_covariance():
     land = np.asarray(mdl.static.land_mask)
     d_sst = np.abs(np.asarray(ens_a.ocean.sst - ens.ocean.sst).mean(0))
     assert d_sst[land == 0].max() > 0.01
+
+
+# ---------------------------------------------------------------------------
+# state-augmented parameter estimation (VERDICT r3 item 7)
+# ---------------------------------------------------------------------------
+
+def test_param_analysis_matches_kalman_mean():
+    """The global augmented-parameter update's MEAN must equal the exact
+    Kalman mean update with the sample cross-covariances in f64:
+    θ̄ᵃ = θ̄ + P_θy (P_yy + R)⁻¹ d  with P = sample cov / (k−1)."""
+    rng = np.random.default_rng(11)
+    k, p = 24, 7
+    theta = jnp.asarray(rng.normal(0.4, 0.05, size=(k,)))
+    Yp = jnp.asarray(rng.normal(0.0, 1.3, size=(k, p)))
+    Yp = Yp - Yp.mean(axis=0, keepdims=True)
+    d = jnp.asarray(rng.normal(0.0, 1.0, size=(p,)))
+    sig = 0.7
+
+    th_a = A.letkf_param_analysis(theta, Yp, d, sig, inflation=1.0,
+                                  rtps=0.0, solver="eigh")
+
+    Tp = np.asarray(theta) - np.asarray(theta).mean()
+    P_ty = Tp @ np.asarray(Yp) / (k - 1)                 # [p]
+    P_yy = np.asarray(Yp).T @ np.asarray(Yp) / (k - 1)   # [p, p]
+    K = P_ty @ np.linalg.inv(P_yy + sig**2 * np.eye(p))
+    expect_mean = np.asarray(theta).mean() + K @ np.asarray(d)
+    assert float(np.mean(np.asarray(th_a))) == pytest.approx(
+        float(expect_mean), rel=1e-8, abs=1e-10)
+    # posterior spread shrinks (observations carry information)
+    assert float(np.std(np.asarray(th_a))) < float(np.std(np.asarray(theta)))
+
+
+def test_param_analysis_rtps_preserves_mean():
+    """Parameter RTPS rescales deviations only — the analysis mean is
+    untouched, and the spread is pulled back toward the background's."""
+    rng = np.random.default_rng(5)
+    k, p = 16, 9
+    theta = jnp.asarray(rng.normal(1.0, 0.1, size=(k,)))
+    Yp = jnp.asarray(rng.normal(size=(k, p)))
+    Yp = Yp - Yp.mean(axis=0, keepdims=True)
+    d = jnp.asarray(rng.normal(size=(p,)))
+    a0 = A.letkf_param_analysis(theta, Yp, d, 1.0, rtps=0.0, solver="eigh")
+    a1 = A.letkf_param_analysis(theta, Yp, d, 1.0, rtps=0.8, solver="eigh")
+    assert float(np.mean(np.asarray(a1))) == pytest.approx(
+        float(np.mean(np.asarray(a0))), rel=1e-10)
+    assert (float(np.std(np.asarray(a0)))
+            < float(np.std(np.asarray(a1)))
+            <= float(np.std(np.asarray(theta))) * 1.0001)
+
+
+def test_param_estimation_recovers_gh_factor():
+    """End-to-end augmented-state OSSE on the real coupled model: the truth
+    runs with a greenhouse factor the ensemble does not know; cycling the
+    per-member-injected forecast (make_param_ensemble_chunk_fn) with the
+    augmented analysis pulls the parameter ensemble toward the truth value
+    through the θ↔T_s cross-covariances alone (θ is never observed).
+
+    Companion to the adjoint Newton calibration (docs/19): two independent
+    routes to the same parameter, one derivative-based, one ensemble-based
+    — neither expressible in the reference."""
+    from qingdai_tpu import ensemble as E
+    from qingdai_tpu import model as M
+    from qingdai_tpu.adjoint import PARAM_ALIASES, inject_path
+
+    mdl = _build()
+    g_true, g_prior = 0.46, 0.34
+    k, n_obs, cyc = 12, 80, 12
+
+    # truth: same physics, gh_factor = g_true
+    mdl_truth = inject_path(mdl, PARAM_ALIASES["gh_factor"],
+                            jnp.asarray(g_true, jnp.float32))
+    truth = M.init_world(mdl_truth)
+    tchunk = jax.jit(M.make_chunk_fn(mdl_truth, cyc))
+
+    # ensemble: tiny state noise so the θ-induced T_s signal dominates the
+    # member spread (clean strong-signal regime for a fast test)
+    ens = E.init_ensemble(mdl, n_members=k, perturb_k=0.01)
+    key = jax.random.PRNGKey(2)
+    theta = g_prior + 0.04 * jax.random.normal(key, (k,), jnp.float32)
+
+    cfg = A.AssimConfig(fields=("T_s", "sst", "h", "q"), obs_field="T_s",
+                        obs_err=0.05, loc_radius_km=4000.0, inflation=1.02,
+                        rtps=0.6)
+    echunk = jax.jit(A.make_param_ensemble_chunk_fn(mdl, ("gh_factor",), cyc))
+    analysis = jax.jit(A.make_augmented_analysis_fn(mdl, cfg, n_obs,
+                                                    param_rtps=0.5))
+
+    err0 = abs(float(np.mean(np.asarray(theta))) - g_true)
+    for c in range(4):
+        truth, _ = tchunk(truth)
+        ens, _ = echunk(ens, theta[:, None])
+        key, k_net, k_noise = jax.random.split(key, 3)
+        obs_cell = A.draw_obs_network(k_net, mdl, n_obs)
+        y = A.synthetic_obs(k_noise, truth, obs_cell, "T_s", cfg.obs_err)
+        ens, th2 = analysis(ens, theta[:, None], y, obs_cell)
+        theta = th2[:, 0]
+    err = abs(float(np.mean(np.asarray(theta))) - g_true)
+    spread = float(np.std(np.asarray(theta)))
+    assert np.isfinite(err) and spread > 0.0
+    # the estimate moves most of the way from the biased prior to the truth
+    assert err < 0.5 * err0, (err, err0, spread)

@@ -246,3 +246,35 @@ def test_plankton_mismatch_random_reinit(tiny_env, monkeypatch):
     # 'reset' is the deterministic default init; 'random' adds noise to it
     assert np.isfinite(C_rand).all()
     assert not np.allclose(C_rand, C_reset)
+
+
+def test_plankton_read_error_keeps_state(tiny_env, monkeypatch):
+    """A transiently unreadable plankton.nc must KEEP state — not re-init —
+    even under dist_on_mismatch=random: the reference resets only on a
+    genuine dims mismatch (phyto.py:942-981), never on a read failure
+    (ADVICE round-3 finding)."""
+    from qingdai_tpu.world import QingdaiWorld
+    from qingdai_tpu.io import netcdf as ncio
+
+    w = QingdaiWorld(verbose=False)
+    path = os.path.join("data", "plankton.nc")
+    w.autosave()
+    # status-level checks on the loader itself
+    _, status = ncio.load_plankton_nc(path, w.state.phyto,
+                                      w.model.phyto_static)
+    assert status == "ok"
+    with open(path, "wb") as f:
+        f.write(b"not a netcdf file")
+    _, status = ncio.load_plankton_nc(path, w.state.phyto,
+                                      w.model.phyto_static)
+    assert status == "read_error"
+
+    # world-level: corrupt file + 'random' must yield the deterministic
+    # default init (kept state), not a randomized re-init
+    monkeypatch.setenv("QD_AUTOSAVE_LOAD", "0")
+    monkeypatch.setenv("QD_PLANKTON_DIST_ON_MISMATCH", "random")
+    w_kept = QingdaiWorld(verbose=False)
+    os.remove(path)
+    w_fresh = QingdaiWorld(verbose=False)
+    np.testing.assert_array_equal(np.asarray(w_kept.state.phyto.C_phyto),
+                                  np.asarray(w_fresh.state.phyto.C_phyto))
