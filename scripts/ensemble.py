@@ -37,6 +37,14 @@ def main(argv=None):
     p.add_argument("--perturb-k", type=float, default=0.01,
                    help="member T_s/SST perturbation amplitude (kelvin)")
     p.add_argument("--chunk-days", type=int, default=1)
+    p.add_argument("--member-chunk", type=int, default=0,
+                   help="advance the ensemble in sequential groups of this "
+                        "many members (one [M]-wide vmapped compile reused "
+                        "per group) instead of one N-wide vmap — the "
+                        "working-set experiment for the N=16 regression "
+                        "(docs/perf-notes.md 'Ensemble mode')")
+    p.add_argument("--profile", metavar="DIR", default=None,
+                   help="capture a JAX profiler trace of the timed chunks")
     p.add_argument("--json", action="store_true",
                    help="print only the one-line JSON summary")
     args = p.parse_args(argv)
@@ -50,19 +58,46 @@ def main(argv=None):
     spd = int(round(mdl.day_seconds / mdl.dt))
     chunk_steps = args.chunk_days * spd
     ens = E.init_ensemble(mdl, args.members, perturb_k=args.perturb_k)
-    echunk = jax.jit(E.make_ensemble_chunk_fn(mdl, chunk_steps))
+
+    if args.member_chunk and args.member_chunk < args.members:
+        mc = args.member_chunk
+        if args.members % mc:
+            raise SystemExit(f"--member-chunk {mc} must divide "
+                             f"--members {args.members}")
+        group_chunk = jax.jit(E.make_ensemble_chunk_fn(mdl, chunk_steps))
+
+        def echunk(ens_state):
+            outs = []
+            diags = None
+            for g in range(args.members // mc):
+                sl = slice(g * mc, (g + 1) * mc)
+                part = jax.tree.map(lambda x: x[sl], ens_state)
+                part, diags = group_chunk(part)
+                outs.append(part)
+            import jax.numpy as jnp
+            return (jax.tree.map(
+                lambda *xs: jnp.concatenate(xs, axis=0), *outs), diags)
+    else:
+        echunk = jax.jit(E.make_ensemble_chunk_fn(mdl, chunk_steps))
 
     t0 = time.time()
     ens, diags = echunk(ens)       # compile + warm-up chunk
     jax.block_until_ready(ens)
     compile_s = time.time() - t0
 
+    if args.profile:
+        import jax.profiler
+        jax.profiler.start_trace(args.profile)
     n_chunks = max(1, args.days // args.chunk_days)
     t0 = time.time()
     for _ in range(n_chunks):
         ens, diags = echunk(ens)
     jax.block_until_ready(ens)
     wall = time.time() - t0
+    if args.profile:
+        jax.profiler.stop_trace()
+        if not args.json:
+            print(f"[Ensemble] profiler trace written under {args.profile}")
     per_step = wall / (n_chunks * chunk_steps)
 
     from qingdai_tpu.physics.orbital import T_PLANET
@@ -78,6 +113,7 @@ def main(argv=None):
         "value": round(aggregate, 2),
         "unit": "member-sim-years/hour",
         "compile_s": round(compile_s, 1),
+        "member_chunk": args.member_chunk or args.members,
         "Ts_mean_spread_K": round(spread.get("Ts_mean_spread", float("nan")), 5),
     }
     if not args.json:
