@@ -11,7 +11,7 @@ economics (docs/perf-notes.md "Ensemble mode"): the marginal member costs
 modest aggregate-throughput win over the best single-planet session
 (88–99), NOT the super-linear scaling the op-count-bound hypothesis
 predicted (the vmapped step is vector-issue-bound like the single step;
-16 members regress on working-set pressure). The larger value is the
+16 members regress on measured VMEM strip-mining — docs/perf-notes.md). The larger value is the
 capability: N decorrelated members advance in one process, one compile,
 one scan, with per-member diagnostic streams and spread curves.
 
