@@ -55,18 +55,47 @@ from . import model as M
 from .state import WorldState
 
 
-def perturb_member(state: WorldState, key: jax.Array, amp,
-                   land_mask) -> WorldState:
-    """One member's initial condition: T_s/SST noise of amplitude ``amp`` K.
+def _correlated_noise(key, shape, dtype, passes: int = 6):
+    """Zero-mean unit-ish noise with a few-cell correlation length: white
+    noise smoothed by repeated 4-neighbor averaging (periodic lon, clamped
+    lat). Grid-scale white noise is useless for seeding weather-mode
+    spread — the ∇⁴/Shapiro filter stack removes it within hours; the
+    smoothed field survives long enough to project onto dynamical modes."""
+    n = jax.random.normal(key, shape, dtype)
+    for _ in range(passes):
+        n = 0.2 * (n
+                   + jnp.roll(n, 1, axis=-1) + jnp.roll(n, -1, axis=-1)
+                   + jnp.concatenate([n[:1], n[:-1]], axis=0)
+                   + jnp.concatenate([n[1:], n[-1:]], axis=0))
+    # renormalize to unit std (smoothing shrinks the variance)
+    return n / jnp.maximum(jnp.std(n), 1e-12)
 
-    ``amp`` may be a traced scalar (vmapped callers pass 0 for member 0).
-    The ocean SST perturbation matches T_s over open ocean so the surface
-    fields stay mutually consistent, mirroring how init_world applies the
-    banded init to both (state.py / run_simulation.py:310-328)."""
-    k_noise, k_member = jax.random.split(key)
+
+def perturb_member(state: WorldState, key: jax.Array, amp,
+                   land_mask, h_amp=0.0) -> WorldState:
+    """One member's initial condition: T_s/SST noise of amplitude ``amp`` K,
+    plus (``h_amp`` > 0) spatially-correlated geopotential-height noise of
+    ``h_amp`` meters.
+
+    ``amp``/``h_amp`` may be traced scalars (vmapped callers pass 0 for
+    member 0). The ocean SST perturbation matches T_s over open ocean so
+    the surface fields stay mutually consistent, mirroring how init_world
+    applies the banded init to both (state.py / run_simulation.py:310-328).
+
+    Why h: a T_s-only perturbation decays — the momentum scheme relaxes
+    winds toward geostrophic balance of the UNperturbed h, so surface
+    noise is mixed away and OSSE truth/ensemble pairs re-converge
+    (measured: 1-K T_s noise contracts ~4%/day at equilibrium, 181×360).
+    Perturbing h displaces the mass field the winds balance against, so
+    the members carry persistent flow differences — the seed for genuine
+    forecast-error growth."""
+    k_noise, k_h, k_member = jax.random.split(key, 3)
     noise = amp * jax.random.normal(k_noise, state.atmos.T_s.shape,
                                     state.atmos.T_s.dtype)
-    atmos = dataclasses.replace(state.atmos, T_s=state.atmos.T_s + noise)
+    h_noise = h_amp * _correlated_noise(k_h, state.atmos.h.shape,
+                                        state.atmos.h.dtype)
+    atmos = dataclasses.replace(state.atmos, T_s=state.atmos.T_s + noise,
+                                h=state.atmos.h + h_noise)
     sst = jnp.where(land_mask == 0, state.ocean.sst + noise, state.ocean.sst)
     ocean = dataclasses.replace(state.ocean, sst=sst)
     return dataclasses.replace(state, atmos=atmos, ocean=ocean, rng=k_member)

@@ -67,6 +67,13 @@ def main(argv=None):
                    help="comma-separated assimilated fields")
     p.add_argument("--perturb-k", type=float, default=1.0,
                    help="ensemble initial displacement amplitude (K)")
+    p.add_argument("--perturb-h-m", type=float, default=0.0,
+                   help="chaos mode: correlated geopotential-height noise "
+                        "amplitude (m) for truth and members — a T_s-only "
+                        "perturbation decays under the geostrophic "
+                        "relaxation (ensemble.perturb_member docstring); "
+                        "h noise carries persistent flow differences that "
+                        "actually grow")
     p.add_argument("--truth-mode", default="chaos",
                    choices=["chaos", "displace"])
     p.add_argument("--warmup-days", type=int, default=0,
@@ -94,6 +101,14 @@ def main(argv=None):
                    help="relaxation-to-prior-spread for the parameter "
                         "deviations (parameters have no dynamics to "
                         "regenerate spread)")
+    p.add_argument("--no-param-update", action="store_true",
+                   help="with --est-param: inject --param-truth into the "
+                        "TRUTH only and keep the ensemble's (biased) "
+                        "default — the imperfect-model OSSE: persistent "
+                        "model error that state assimilation must "
+                        "continuously correct, the standard skill "
+                        "demonstration for a damped system whose "
+                        "perfect-model errors self-decay")
     p.add_argument("--no-free-baseline", action="store_true",
                    help="skip the free-running control ensemble")
     p.add_argument("--json", action="store_true")
@@ -155,7 +170,9 @@ def main(argv=None):
         truth = E.perturb_member(
             base, jax.random.PRNGKey(args.seed + 777),
             jnp.asarray(args.perturb_k, base.atmos.T_s.dtype),
-            mdl.static.land_mask)  # (also forks truth's rng stream)
+            mdl.static.land_mask,
+            jnp.asarray(args.perturb_h_m,
+                        base.atmos.h.dtype))  # (also forks truth's rng)
 
     # ensemble; every member perturbed (unlike init_ensemble's member-0
     # convention — no member may equal the truth)
@@ -163,11 +180,17 @@ def main(argv=None):
         jax.random.fold_in(base.rng, args.seed + 1),
         jnp.arange(args.members, dtype=jnp.uint32))
     amps = jnp.full((args.members,), args.perturb_k, base.atmos.T_s.dtype)
-    ens = jax.vmap(E.perturb_member, in_axes=(None, 0, 0, None))(
-        base, keys, amps, mdl.static.land_mask)
+    h_amps = jnp.full((args.members,), args.perturb_h_m, base.atmos.h.dtype)
+    ens = jax.vmap(E.perturb_member, in_axes=(None, 0, 0, None, 0))(
+        base, keys, amps, mdl.static.land_mask, h_amps)
 
     theta = None
-    if args.est_param:
+    if args.est_param and args.no_param_update:
+        # imperfect-model OSSE: the biased ensemble runs the plain chunks
+        echunk = jax.jit(E.make_ensemble_chunk_fn(mdl, cyc))
+        analysis = jax.jit(A.make_analysis_fn(mdl, cfg, args.obs_count))
+        fchunk = echunk
+    elif args.est_param:
         key_th = jax.random.PRNGKey(args.seed + 99)
         theta = (args.param_prior_mean + args.param_prior_std
                  * jax.random.normal(key_th, (args.members, 1), jnp.float32))
@@ -184,8 +207,10 @@ def main(argv=None):
     w = mdl.grid.area_w
     key = jax.random.PRNGKey(args.seed)
 
+    est_on = bool(args.est_param) and not args.no_param_update
+
     def advance(ens_state, th):
-        if args.est_param:
+        if est_on:
             out, _ = echunk(ens_state, th)
             return out
         out, _ = echunk(ens_state)
@@ -211,7 +236,7 @@ def main(argv=None):
                             cfg.obs_err)
         rmse_b = float(A.rmse_to_truth(ens, truth, "T_s", w))
         spread_b = float(A.ensemble_spread(ens, "T_s", w))
-        if args.est_param:
+        if est_on:
             ens, theta = analysis(ens, theta, y, obs_cell)
         else:
             ens = analysis(ens, y, obs_cell)
@@ -221,7 +246,7 @@ def main(argv=None):
         if free is not None:
             row["rmse_free_K"] = round(
                 float(A.rmse_to_truth(free, truth, "T_s", w)), 4)
-        if args.est_param:
+        if est_on:
             th = np.asarray(theta)
             row["param_mean"] = round(float(th.mean()), 6)
             row["param_std"] = round(float(th.std()), 6)
@@ -251,13 +276,14 @@ def main(argv=None):
         "wall_s": round(wall, 1),
     }
     if args.est_param:
+        summary["no_param_update"] = bool(args.no_param_update)
         summary.update({
             "est_param": args.est_param,
             "param_truth": args.param_truth,
             "param_prior_mean": args.param_prior_mean,
             "param_prior_std": args.param_prior_std,
-            "param_final_mean": series[-1]["param_mean"],
-            "param_final_std": series[-1]["param_std"],
+            "param_final_mean": series[-1].get("param_mean"),
+            "param_final_std": series[-1].get("param_std"),
         })
     print(json.dumps(summary))
     return summary
