@@ -174,7 +174,8 @@ def _advect_windowed(fields, dep_j, dep_i, plan: AdvectPlan):
         # single-chip TPU: the whole window on a VMEM-resident stack — one
         # HBM read + one write instead of ~|ms|·|ks| shifted passes
         from .pallas_advect import advect_windowed_pallas, use_pallas_advect
-        if use_pallas_advect(fields.shape, fields.dtype):
+        if use_pallas_advect(fields.shape, fields.dtype,
+                             n_passes=len(ms) * len(ks)):
             out = advect_windowed_pallas(fields, dep_j, dep_i, ms, ks)
     if out is None:
         # direct accumulation over the (m, k) shift window: every term reads

@@ -73,7 +73,7 @@ def advect_windowed_pallas(fields, dep_j, dep_i, ms, ks, interpret=False):
     # (~22 MiB measured); the stack itself is ~3 MiB, so 64 MiB leaves
     # ample headroom on v5e (128 MiB VMEM/core) while still fitting
     # alongside XLA's own buffers.
-    params = pltpu.CompilerParams(vmem_limit_bytes=64 * 1024 * 1024)
+    params = pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024)
     return pl.pallas_call(
         kern,
         out_shape=jax.ShapeDtypeStruct(fields.shape, fields.dtype),
@@ -84,12 +84,20 @@ def advect_windowed_pallas(fields, dep_j, dep_i, ms, ks, interpret=False):
     )(fields, dep_j, dep_i)
 
 
-def use_pallas_advect(fields_shape, dtype) -> bool:
-    """Single-chip TPU, f32, and the working set fits VMEM comfortably."""
+def use_pallas_advect(fields_shape, dtype, n_passes: int = 55) -> bool:
+    """Single-chip TPU, f32, and the working set fits VMEM comfortably.
+
+    ``n_passes`` = |ms|·|ks| of the shift window: Mosaic's scoped-VMEM need
+    for the unrolled rotate accumulation grows with the window (measured
+    78 MiB for a 95-pass window on one 361×720 field vs ~22 MiB for the
+    55-pass default on eleven 181×360 fields), so wide windows must fall
+    back to the jnp form rather than compile-fail on the scoped limit."""
     from .. import flags
     if not flags.enabled("QD_PALLAS_ADVECT"):
         return False
     if dtype != jnp.float32:
+        return False
+    if n_passes > 60:
         return False
     try:
         if jax.default_backend() != "tpu" or jax.device_count() != 1:
@@ -102,4 +110,8 @@ def use_pallas_advect(fields_shape, dtype) -> bool:
     Wp = math.ceil(W / 128) * 128
     Hp = math.ceil(H / 8) * 8
     bytes_est = (2 * M + 6) * Hp * Wp * 4
-    return bytes_est < 10 * 1024 * 1024
+    # 24 MiB admits the 361x720 [T_s, q] stack (11.3 MiB est) whose jnp
+    # fallback was the #2 hotspot of the 361x720 step (135 us/step device,
+    # docs/perf-notes roofline section); Mosaic's scoped need for the
+    # 55-pass window on that stack fits the raised 100 MiB limit.
+    return bytes_est < 24 * 1024 * 1024
