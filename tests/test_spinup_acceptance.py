@@ -117,3 +117,35 @@ def test_energy_diag_levels(spinup):
     lv_sink = 2.5e6 * m["q_damping_sink_kgm2s"]
     assert abs(m["SFC_net_mean_Wm2"]) < 20.0, m
     assert abs(m["ATM_net_mean_Wm2"] + lv_sink) < 50.0, m
+
+
+def test_4x_resolution_record_closures():
+    """The 721×1440 scale record (SPINUP_721x1440.json — 16× the reference's
+    practical-limit cell count, warm-started from a regridded 181×360
+    segment) is an honest PARTIAL record: a 3-year segment still
+    re-equilibrating at the new resolution, so the equilibrium TREND
+    criteria legitimately fail (dTs/dt ≈ −0.7 K/decade toward the 4×
+    grid's own climate). What must hold regardless of equilibration — and
+    is asserted here — is every per-step physics CLOSURE: the on-device
+    TOA attribution, water/LH closure net of the q-damping sink, fluid
+    reservoir drift, and the exact routing decomposition."""
+    art = os.path.join(os.path.dirname(ART), "SPINUP_721x1440.json")
+    if not os.path.exists(art):
+        pytest.skip("no 721x1440 record")
+    with open(art) as f:
+        d = json.load(f)
+    m = d["phase2"]["metrics"]
+    assert abs(m["TOA_attribution_residual_Wm2"]) < 2.0, m
+    assert abs(m["water_residual_minus_qdamping_rel"]) < 0.05, m
+    assert abs(m["LH_minus_qdamping_rel"]) < 0.05, m
+    assert abs(m["fluid_reservoir_drift_kgm2s"]) < 0.02 * max(
+        abs(m["E_mean_kgm2s"]), 1e-30), m
+    assert m["routing_mass_error_decomp_resid_rel"] < 1e-4, m
+    a = d["acceptance"]
+    for k in ("TOA_attribution_residual_lt_2",
+              "water_closure_net_of_qdamping_lt_5pct",
+              "LH_consistency_net_of_qdamping_lt_5pct",
+              "fluid_reservoir_drift_small",
+              "routing_mass_error_fully_decomposed",
+              "eval_window_free_of_transients"):
+        assert a[k] is True, (k, a)
