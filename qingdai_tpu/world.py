@@ -348,7 +348,9 @@ class QingdaiWorld:
             self._warn("[Autosave] no usable checkpoint (atmosphere.nc "
                        "unreadable, sidecar absent/failed) — cold start.")
         if rst is not None and self.restore_source == "netcdf":
-            if rst.get("P_cond_flux_last") is not None:
+            cache_vars = ("P_cond_flux_last", "E_flux_last", "LH_last",
+                          "LH_release_last", "cloud_eff_last")
+            if all(rst.get(k) is not None for k in cache_vars):
                 # the file carried the actual flux caches (extra variables we
                 # write into the reference schema) — already applied by
                 # apply_restart_to_state; better than any bootstrap replay

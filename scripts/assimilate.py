@@ -189,7 +189,6 @@ def main(argv=None):
         # imperfect-model OSSE: the biased ensemble runs the plain chunks
         echunk = jax.jit(E.make_ensemble_chunk_fn(mdl, cyc))
         analysis = jax.jit(A.make_analysis_fn(mdl, cfg, args.obs_count))
-        fchunk = echunk
     elif args.est_param:
         key_th = jax.random.PRNGKey(args.seed + 99)
         theta = (args.param_prior_mean + args.param_prior_std
@@ -199,11 +198,9 @@ def main(argv=None):
                                                         cyc))
         analysis = jax.jit(A.make_augmented_analysis_fn(
             mdl, cfg, args.obs_count, param_rtps=args.param_rtps))
-        fchunk = echunk          # free ensemble keeps its prior theta
     else:
         echunk = jax.jit(E.make_ensemble_chunk_fn(mdl, cyc))
         analysis = jax.jit(A.make_analysis_fn(mdl, cfg, args.obs_count))
-        fchunk = echunk
     w = mdl.grid.area_w
     key = jax.random.PRNGKey(args.seed)
 

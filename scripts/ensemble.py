@@ -68,15 +68,18 @@ def main(argv=None):
 
         def echunk(ens_state):
             outs = []
-            diags = None
+            dlist = []
             for g in range(args.members // mc):
                 sl = slice(g * mc, (g + 1) * mc)
                 part = jax.tree.map(lambda x: x[sl], ens_state)
                 part, diags = group_chunk(part)
                 outs.append(part)
+                dlist.append(diags)
             import jax.numpy as jnp
-            return (jax.tree.map(
-                lambda *xs: jnp.concatenate(xs, axis=0), *outs), diags)
+            cat = lambda *xs: jnp.concatenate(xs, axis=0)
+            # concatenate per-group diags along the member axis so
+            # spread_diagnostics sees the FULL ensemble, not the last group
+            return (jax.tree.map(cat, *outs), jax.tree.map(cat, *dlist))
     else:
         echunk = jax.jit(E.make_ensemble_chunk_fn(mdl, chunk_steps))
 

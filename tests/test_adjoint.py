@@ -17,6 +17,8 @@ import pytest
 
 sys.path.insert(0, "/root/repo")
 
+pytestmark = pytest.mark.heavy  # f64 full-model compiles (VERDICT r4 item 7)
+
 N_STEPS = 12
 SEG = 3
 

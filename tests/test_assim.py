@@ -22,6 +22,9 @@ import pytest
 
 from qingdai_tpu import assim as A
 
+pytestmark = pytest.mark.heavy  # f64 full-model compiles (VERDICT r4 item 7)
+
+
 
 def _rand_spd(rng, batch, k, cond=100.0):
     q, _ = np.linalg.qr(rng.normal(size=(batch, k, k)))

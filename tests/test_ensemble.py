@@ -10,11 +10,15 @@ import os
 
 import numpy as np
 import jax
+import pytest
 
 from qingdai_tpu import ensemble as E
 from qingdai_tpu import model as M
 from qingdai_tpu import topography as topo
 from qingdai_tpu.config import SimConfig
+
+pytestmark = pytest.mark.heavy  # f64 full-model compiles (VERDICT r4 item 7)
+
 
 
 def _build(n_lat=19, n_lon=36, **env):

@@ -67,12 +67,22 @@ def test_restart_file_schema(tiny_env):
             assert name in ds.variables, name
 
 
+@pytest.mark.heavy
+@pytest.mark.dryrun
 def test_multichip_dryrun_8_devices(tiny_env):
+    """The driver's multichip artifact case, in-suite. The tiny_env fixture
+    is kept DELIBERATELY: its leaked QD_ECO_NS/QD_PHYTO_NSPECIES once
+    steered the dryrun onto a different trajectory (the round-4 flake);
+    the hermetic build must now produce the same result regardless."""
     assert len(jax.devices()) >= 8  # conftest forces 8 virtual CPU devices
     import sys
     sys.path.insert(0, "/root/repo")
     from __graft_entry__ import dryrun_multichip
-    dryrun_multichip(8)
+    r = dryrun_multichip(8)
+    # hermeticity: identical trajectory to the fixture-free driver run —
+    # every segment certifies its chaos envelope is far from a knife edge
+    for seg in r["segments"]:
+        assert seg["ctrl"] < 1e-4, seg
 
 
 def test_sharded_chunk_matches_unsharded(tiny_env):
@@ -104,21 +114,6 @@ def test_sharded_chunk_matches_unsharded(tiny_env):
                                rtol=1e-5, atol=1e-5)
     np.testing.assert_allclose(float(out_diags["Ts_mean"][-1]),
                                float(ref_diags["Ts_mean"][-1]), rtol=1e-5)
-
-
-def test_sharded_day_and_routing_event_crossing():
-    """The driver's multichip artifact case, folded into the suite: a 20-step
-    sharded scan at dt=7200 s crossing 2 daily boundaries (ecology daily +
-    mutation, individual-pool daily, phyto daily) and 6 routing events —
-    the only full-field collective path — compared leaf-by-leaf against the
-    unsharded run in f64 (see __graft_entry__.dryrun_multichip docstring).
-    The conftest already provides the 8-device CPU mesh + x64 it needs."""
-    import sys
-    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    if root not in sys.path:
-        sys.path.insert(0, root)
-    from __graft_entry__ import dryrun_multichip
-    dryrun_multichip(8)
 
 
 def test_orbax_checkpoint_roundtrip(tiny_env):
