@@ -20,7 +20,8 @@ import numpy as np
 REF_CPU_SIM_YEARS_PER_HOUR = 0.2527  # 117.043 ms/step, BASELINE.md
 
 
-def _measure(extra_env=None, n_chunks=5, chunk_steps=240, repeats=1):
+def _measure(extra_env=None, n_chunks=5, chunk_steps=240, repeats=1,
+             n_lat=181, n_lon=360):
     """Build one world config, time a warmed scan; returns (per_step_s,
     state, dt). ``repeats`` re-times the same compiled chunk and keeps the
     best sample (chip/session noise is ±15 µs/step, perf-notes "Session
@@ -29,7 +30,7 @@ def _measure(extra_env=None, n_chunks=5, chunk_steps=240, repeats=1):
     from __graft_entry__ import _build_world
     from qingdai_tpu import model as M
 
-    mdl, state = _build_world(181, 360, extra_env=extra_env)
+    mdl, state = _build_world(n_lat, n_lon, extra_env=extra_env)
     chunk = jax.jit(M.make_chunk_fn(mdl, chunk_steps))
     state, _ = chunk(state)          # compile + warm-up day
     jax.block_until_ready(state)
@@ -117,6 +118,34 @@ def main():
         wd.cancel()
         _watchdog(5400)     # 12 builds; slow sessions run ~15-20 min
         ablate()
+        return
+
+    if "--grid" in sys.argv:
+        # scale rows (VERDICT r4 item 9): one JSON line per requested grid,
+        # e.g. `python bench.py --grid 361x720 [--grid 721x1440]`. Each row
+        # reports the default-config number AND the QD_DIAG_EVERY=24 tuned
+        # number (diag emission at the reference's print cadence; state
+        # trajectory bit-identical — tests/test_model_e2e.py).
+        wd.cancel()
+        _watchdog(5400)
+        grids = [sys.argv[i + 1] for i, a in enumerate(sys.argv)
+                 if a == "--grid"]
+        for g in grids:
+            nlat, nlon = (int(x) for x in g.lower().split("x"))
+            row = {"metric": "sim_years_per_hour", "grid": g,
+                   "unit": "sim-years/hour"}
+            for tag, env in (("value", None),
+                             ("value_diag24", {"QD_DIAG_EVERY": "24"})):
+                per_step, state, dt = _measure(extra_env=env, n_chunks=3,
+                                               repeats=3, n_lat=nlat,
+                                               n_lon=nlon)
+                if not bool(np.isfinite(np.asarray(state.atmos.T_s)).all()):
+                    row["error"] = "non-finite state"
+                    break
+                row[tag] = round(3600.0 / per_step * dt / T_PLANET, 3)
+                row[tag.replace("value", "ms_per_step")] = round(
+                    per_step * 1e3, 4)
+            print(json.dumps(row), flush=True)
         return
 
     per_step, state, dt = _measure(n_chunks=5, chunk_steps=240, repeats=3)

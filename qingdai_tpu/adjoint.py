@@ -46,6 +46,7 @@ from typing import Callable, Dict, Optional, Union
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from . import flags
 from . import model as M
@@ -220,3 +221,80 @@ def calibrate(model: M.Model, state, param: str, x0: float, *,
             raise RuntimeError(f"zero gradient at {param}={x}")
         x = x - (J - target) / dJdx
     return x, history
+
+
+def calibrate_joint(model: M.Model, state, priors: Dict[str, float],
+                    truth: Dict[str, float], *, n_steps: int,
+                    obs_keys=("Ts_mean", "OLR_mean", "E_mean"),
+                    iters: int = 40, lr: float = 0.05,
+                    segment: Optional[int] = None, verbose: bool = True):
+    """Recover SEVERAL scalar physics parameters simultaneously by Adam
+    descent on a trajectory-mismatch objective through the coupled model
+    (VERDICT r4 item 6; doc 19 §joint calibration).
+
+    A synthetic truth runs the same window with the (withheld) ``truth``
+    parameter values; the objective is the normalized squared mismatch of
+    several diagnostic SERIES (not one endpoint scalar) — each parameter
+    imprints on a different combination of series (gh_factor on OLR/Ts,
+    C_E on E, tau_cond on the precip/CWV balance), which is what makes the
+    joint problem identifiable where a single Ts_mean target is not.
+
+    Parameters are optimized in log-space (p = prior·exp(z)): scale-free
+    steps for parameters spanning orders of magnitude, positivity for
+    free. One forward+backward sweep per iteration — the reference's only
+    counterpart would be (n_params+1) full runs per FD iteration.
+
+    Returns ``(recovered: dict, history)`` where history rows are
+    ``(iter, {param: value}, J)``.
+    """
+    import math as _math
+    import optax
+
+    keys = tuple(priors)
+    probe = make_value(model, n_steps, objective=(lambda s: jnp.zeros(())),
+                       segment=segment)
+    _, (_, truth_series) = probe(
+        {k: jnp.asarray(v) for k, v in truth.items()}, state)
+    truth_series = {k: jax.device_get(truth_series[k]) for k in obs_keys}
+    # per-series normalization: mismatch in units of the truth's own
+    # variability (floored at 1e-3 of its mean magnitude so a flat series
+    # cannot blow the objective up)
+    norm = {k: float(max(np.std(truth_series[k]),
+                         1e-3 * max(1e-30, np.abs(truth_series[k]).mean())))
+            for k in obs_keys}
+
+    def objective(series):
+        J = jnp.zeros(())
+        for k in obs_keys:
+            d = (series[k] - jnp.asarray(truth_series[k])) / norm[k]
+            J = J + jnp.mean(d * d)
+        return J / len(obs_keys)
+
+    vg = make_value_and_grad(model, n_steps, objective=objective,
+                             segment=segment)
+    z = {k: jnp.zeros(()) for k in keys}
+    opt = optax.adam(lr)
+    opt_state = opt.init(z)
+    history = []
+    best = (float("inf"), dict(priors))
+    for it in range(iters):
+        params = {k: jnp.asarray(priors[k]) * jnp.exp(z[k]) for k in keys}
+        (J, _), g = vg(params, state)
+        J = float(J)
+        vals = {k: float(params[k]) for k in keys}
+        history.append((it, vals, J))
+        if J < best[0]:
+            best = (J, vals)
+        if verbose:
+            print(f"[calibrate_joint] iter {it}: J={J:.6f} " +
+                  " ".join(f"{k}={vals[k]:.6g}" for k in keys), flush=True)
+        # chain rule to log-space: dJ/dz = dJ/dp · p
+        gz = {k: jnp.asarray(g[k]) * params[k] for k in keys}
+        if not all(bool(jnp.isfinite(gz[k])) for k in keys):
+            if verbose:
+                print("[calibrate_joint] non-finite gradient; stopping at "
+                      "best-so-far", flush=True)
+            break
+        updates, opt_state = opt.update(gz, opt_state)
+        z = optax.apply_updates(z, updates)
+    return best[1], history

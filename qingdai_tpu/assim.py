@@ -329,6 +329,71 @@ def make_analysis_fn(model, cfg: AssimConfig, n_obs: int):
     return analysis
 
 
+def make_multivar_analysis_fn(model, cfg: AssimConfig, obs_spec):
+    """Multivariate-observation analysis (VERDICT r4 item 5).
+
+    ``obs_spec`` is a tuple of ``(field_name, n_obs, obs_err)`` triples —
+    e.g. ``(("T_s", 250, 0.5), ("sst", 150, 0.3), ("q", 100, 5e-4))``. The
+    per-observation field indices and error variances are baked static;
+    ``letkf_analysis`` already handles heterogeneous observations (its
+    ``obs_field_idx``/[p]-shaped ``obs_err`` arguments), so this is pure
+    network plumbing: each observed field must appear in ``cfg.fields``.
+
+    Returns ``analysis(ens_state, y, obs_cell) -> ens_state`` where ``y``
+    and ``obs_cell`` are the concatenations over the spec's blocks, in
+    spec order (see ``draw_multivar_obs``).
+    """
+    from . import constants as const
+    fields = tuple(cfg.fields)
+    for f, _, _ in obs_spec:
+        if f not in fields:
+            raise ValueError(f"observed field {f!r} not in assimilated "
+                             f"fields {fields}")
+    fidx = np.concatenate([np.full(n, fields.index(f), np.int32)
+                           for f, n, _ in obs_spec])
+    errs = np.concatenate([np.full(n, e, np.float32)
+                           for f, n, e in obs_spec])
+    lat = model.grid.lat_mesh.reshape(-1)
+    lon = model.grid.lon_mesh.reshape(-1)
+    land = model.static.land_mask
+
+    def analysis(ens_state: WorldState, y: jax.Array, obs_cell: jax.Array):
+        Xf = gather_fields(ens_state, fields)
+        k, F, H, W = Xf.shape
+        X = Xf.reshape(k, F, H * W)
+        Xa = letkf_analysis(
+            X, y, obs_cell, jnp.asarray(fidx), lat, lon,
+            obs_err=jnp.asarray(errs, X.dtype),
+            loc_radius_km=cfg.loc_radius_km,
+            inflation=cfg.inflation, rtps=cfg.rtps,
+            planet_radius_m=const.PLANET_RADIUS,
+            solver=cfg.solver, ns_iters=cfg.ns_iters)
+        return scatter_fields(ens_state, fields, Xa.reshape(k, F, H, W), land)
+
+    return analysis
+
+
+def draw_multivar_obs(key, model, truth_state, obs_spec):
+    """Draw one observing network + synthetic obs per spec block; returns
+    (y, obs_cell) concatenated in spec order (matching
+    make_multivar_analysis_fn's static field-index layout). Ocean-only
+    fields restrict their network to ocean cells (an SST instrument
+    cannot sit on land)."""
+    land = np.asarray(model.static.land_mask)
+    ys, cells = [], []
+    for f, n, err in obs_spec:
+        key, k_net, k_noise = jax.random.split(key, 3)
+        w = np.asarray(model.grid.area_w, np.float64).reshape(-1).copy()
+        if f in _OCEAN_ONLY:
+            w[land.reshape(-1) == 1] = 0.0
+        probs = jnp.asarray(w / w.sum())
+        cell = jax.random.choice(k_net, probs.shape[0], (n,), replace=False,
+                                 p=probs)
+        ys.append(synthetic_obs(k_noise, truth_state, cell, f, err))
+        cells.append(cell)
+    return jnp.concatenate(ys), jnp.concatenate(cells)
+
+
 # ---------------------------------------------------------------------------
 # state-augmented parameter estimation
 # ---------------------------------------------------------------------------

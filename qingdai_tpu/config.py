@@ -211,6 +211,11 @@ class DynamicsConfig:
     dyn_diag: bool = False         # QD_DYN_DIAG: filter variance diagnostics
     adv_alpha: float = 0.2         # Ts/q semi-Lagrangian blend
     adv_kmax: int = 4              # QD_ADV_KMAX: advection roll-window bound
+    adv_polar_k2: int = 16         # QD_ADV_POLAR_K2: two-tier polar band
+    #                                window bound (0 = off; ops/advect.py
+    #                                AdvectPlan.k2 — rows with offset bound
+    #                                in (k_lon, k2] take one wide Pallas
+    #                                band pass instead of the gather)
     # cloud microstep
     cloud_couple: bool = True
     rh0: float = 0.6
@@ -251,6 +256,7 @@ class DynamicsConfig:
             diff_factor=_f("QD_DIFF_FACTOR", 0.998),
             dyn_diag=_b("QD_DYN_DIAG", False),
             adv_kmax=_i("QD_ADV_KMAX", 4),
+            adv_polar_k2=_i("QD_ADV_POLAR_K2", 16),
             cloud_couple=_b("QD_CLOUD_COUPLE", True),
             rh0=_f("QD_RH0", 0.6),
             k_q=_f("QD_K_Q", 0.3),
@@ -863,6 +869,15 @@ class RunConfig:
     scan_unroll: int = 1
     pack_diags: bool = False    # QD_PACK_DIAGS: stack diag scalars into one
                                 # [D] vector per step (measured slower; A/B)
+    # QD_DIAG_EVERY: emit the per-step diag scalars every Nth step of the
+    # scan; steps in between skip the ~20 diag-only reductions AND the
+    # per-leaf dynamic-update-slice stacking (both measured hot at 361×720,
+    # perf-notes roofline — VERDICT r4 item 2). N=1 (default) is the full
+    # per-step surface; the reference itself only computes diagnostics at
+    # print time (run_simulation.py main loop), so N>1 is still a superset.
+    # Spin-up acceptance and the energy audit require N=1 (per-step
+    # attribution integrals); scripts/spinup.py forces it.
+    diag_every: int = 1
 
     @staticmethod
     def from_env() -> "RunConfig":
@@ -902,6 +917,7 @@ class RunConfig:
             autosave_min_wall_s=_f("QD_AUTOSAVE_MIN_WALL_S", 30.0),
             scan_unroll=_i("QD_SCAN_UNROLL", 1),
             pack_diags=_b("QD_PACK_DIAGS", False),
+            diag_every=max(1, _i("QD_DIAG_EVERY", 1)),
         )
 
 
@@ -927,9 +943,16 @@ class SimConfig:
         from . import flags
         flags.refresh()
         run = RunConfig.from_env()
+        energy = EnergyConfig.from_env()
+        if energy.audit and run.diag_every != 1:
+            # the audit's attribution closure integrates per-step terms
+            # against per-step reservoir deltas — sampled terms would break
+            # the |TOA − Σterms| identity, so the audit forces diag_every=1
+            import dataclasses as _dc
+            run = _dc.replace(run, diag_every=1)
         return SimConfig(
             run=run,
-            energy=EnergyConfig.from_env(),
+            energy=energy,
             humidity=HumidityConfig.from_env(),
             dynamics=DynamicsConfig.from_env(),
             ocean=OceanConfig.from_env(h_mld_default=run.mld_m),

@@ -23,6 +23,11 @@ import os
 _BOOL_DEFS = {
     "QD_SPMD_HALO": True,        # shard_map K-wide halo exchanges under SPMD
     "QD_ADV_POLAR_MATMUL": False,  # one-hot polar interp (measured slower)
+    # one gather for both polar bands: measured NEUTRAL-to-slightly-negative
+    # at 361×720 (1.432 vs 1.401 ms/step same-session best-of-3 — gather
+    # cost ∝ index rows, and merging doesn't reduce rows; perf-notes
+    # round-5). Kept for A/B; default off.
+    "QD_ADV_BAND_MERGE": False,
     "QD_PALLAS_ADVECT": True,    # VMEM window-advection megakernel
     "QD_PALLAS_HYPER4": True,    # VMEM nabla4 chain megakernel
     "QD_PALLAS_MEDIAN": True,    # VMEM bisection median

@@ -118,7 +118,7 @@ def build_model(cfg: SimConfig, land_mask, base_albedo, friction,
     plan_atmos = make_advect_plan(
         cfg.run.n_lat, grid.dlat_rad, grid.dlon_rad, dt, const.PLANET_RADIUS,
         np.asarray(grid.coslat_cap_tiny)[:, 0], vmax=cfg.dynamics.max_wind,
-        k_lon_max=cfg.dynamics.adv_kmax)
+        k_lon_max=cfg.dynamics.adv_kmax, k2=cfg.dynamics.adv_polar_k2)
     plan_ocean = make_advect_plan(
         cfg.run.n_lat, grid.dlat_rad, grid.dlon_rad, dt / max(1, n_sub),
         const.PLANET_RADIUS, np.asarray(grid.coslat_cap_05)[:, 0],
@@ -210,8 +210,15 @@ AUDIT_KEYS = (
 )
 
 def make_step_fn(model: Model, daily_mode: str = "cond",
-                 phyto_mode: str = "cond"):
+                 phyto_mode: str = "cond", with_diags: bool = True):
     """Returns step(state) -> (state, diag) — pure, jittable, scannable.
+
+    ``with_diags=False`` returns ``(state, {})`` and SKIPS the ~20
+    diag-only global reductions (energy/water closure means, u_max,
+    sea-ice/eco/phyto/ocean scalars) — the state trajectory is bit-identical
+    (asserted by tests/test_model_e2e.py); used by make_chunk_fn's
+    ``diag_every`` cadence (QD_DIAG_EVERY), mirroring the reference, which
+    computes diagnostics only at print time (run_simulation.py main loop).
 
     ``daily_mode`` controls the day-boundary block (ecology/individual daily
     steps + accumulator resets):
@@ -485,9 +492,10 @@ def make_step_fn(model: Model, daily_mode: str = "cond",
                                 adv_plan=model.adv_plan_atmos)
 
         # energy budget diagnostics (uses the step's own fluxes)
-        ediag = en.energy_diagnostics(grid.area_w, isr, aux["R"], aux["OLR"],
-                                      aux["SW_sfc"], aux["LW_sfc"], aux["SH"],
-                                      aux["LH"])
+        ediag = (en.energy_diagnostics(grid.area_w, isr, aux["R"], aux["OLR"],
+                                       aux["SW_sfc"], aux["LW_sfc"],
+                                       aux["SH"], aux["LH"])
+                 if with_diags else None)
 
         # ---- 3a) ocean (:2197-2270) ----
         ocn = state.ocean
@@ -586,10 +594,10 @@ def make_step_fn(model: Model, daily_mode: str = "cond",
                            glacier_mask=glacier)
 
         # water-closure means (host forms the d/dt residual from samples)
-        wdiag = hyd.water_closure_means(
+        wdiag = (hyd.water_closure_means(
             grid.area_w, atmos.q, cfg.humidity.rho_a, cfg.humidity.h_mbl,
             atmos.h_ice, cfg.dynamics.rho_ice, W_land, S_snow,
-            E_flux, precip, R_total)
+            E_flux, precip, R_total) if with_diags else None)
 
         # ---- clock (phases advance mod 2π to preserve f32 precision) ----
         two_pi = 2.0 * math.pi
@@ -618,6 +626,9 @@ def make_step_fn(model: Model, daily_mode: str = "cond",
                                eco=eco_state, indiv=indiv_state,
                                phyto=phyto_state, routing=routing_state,
                                rng=key)
+
+        if not with_diags:
+            return new_state, {}
 
         diag = {
             "TOA_net": ediag["TOA_net"], "SFC_net": ediag["SFC_net"],
@@ -704,7 +715,8 @@ def make_step_fn(model: Model, daily_mode: str = "cond",
 
 
 def make_chunk_fn(model: Model, chunk_steps: Optional[int] = None,
-                  day_aligned: bool = True):
+                  day_aligned: bool = True,
+                  diag_every: Optional[int] = None):
     """scan the step over a chunk; returns (state, stacked diag).
 
     When the chunk is a whole number of days (and dt divides the day), the
@@ -714,6 +726,16 @@ def make_chunk_fn(model: Model, chunk_steps: Optional[int] = None,
     numerically identical to the cond path *provided accum_t_day enters the
     chunk at 0* — callers resuming from a mid-day restart must pass
     ``day_aligned=False`` (QingdaiWorld checks this automatically).
+
+    ``diag_every`` (default ``cfg.run.diag_every``, QD_DIAG_EVERY): emit the
+    diag scalars only on every Nth step — the in-between steps run a
+    ``with_diags=False`` step that skips the ~20 diag-only reductions and
+    the per-leaf stacking (the measured diag cost at 361×720, perf-notes
+    roofline). The returned diag leaves then have leading length n//N;
+    row i samples step (i+1)·N−1 of the chunk (stride N ending on the last
+    step, so day-boundary steps stay sampled in aligned mode). The state
+    trajectory is bit-identical to diag_every=1. Falls back to 1 when N
+    does not divide the chunk (and, in aligned mode, the day).
     """
     n = chunk_steps or model.cfg.run.chunk_steps
     dt = model.dt
@@ -721,6 +743,11 @@ def make_chunk_fn(model: Model, chunk_steps: Optional[int] = None,
     spd = int(round(day_s / dt))
     aligned = (day_aligned and abs(spd * dt - day_s) < 1e-9
                and spd >= 2 and n % spd == 0)
+
+    de = diag_every if diag_every is not None else model.cfg.run.diag_every
+    de = max(1, de)
+    if n % de or (aligned and spd % de):
+        de = 1
 
     unroll = max(1, model.cfg.run.scan_unroll)
 
@@ -759,6 +786,18 @@ def make_chunk_fn(model: Model, chunk_steps: Optional[int] = None,
 
     if not aligned:
         step, names = _packer(make_step_fn(model))
+        if de > 1:
+            step_nd = make_step_fn(model, with_diags=False)
+
+            def chunk(state: WorldState):
+                def group(s, _):
+                    s, _ = jax.lax.scan(lambda s2, _: (step_nd(s2)[0], None),
+                                        s, None, length=de - 1, unroll=unroll)
+                    return step(s)
+                state, vec = jax.lax.scan(group, state, None, length=n // de)
+                return state, _unpack(names, vec)
+
+            return chunk
 
         def chunk(state: WorldState):
             def body(s, _):
@@ -772,12 +811,63 @@ def make_chunk_fn(model: Model, chunk_steps: Optional[int] = None,
     # step 1 of each day keeps the dynamic phyto cond (a fresh run's
     # accumulator fires there); steps 2..N-1 are fully static-off; step N
     # runs both daily blocks statically on
+    n_days = n // spd
+
+    if de > 1:
+        # diag_every day structure: G = spd//de groups per day; each group
+        # runs (de-1) no-diag steps then one diag step, so diags sample
+        # steps de-1, 2·de-1, …, spd-1 of the day — the day-boundary step
+        # (daily blocks on) is always a sampled step.
+        step_first_nd = make_step_fn(model, daily_mode="off",
+                                     phyto_mode="cond", with_diags=False)
+        step_off_nd = make_step_fn(model, daily_mode="off", phyto_mode="off",
+                                   with_diags=False)
+        step_off_d, names = _packer(make_step_fn(model, daily_mode="off",
+                                                 phyto_mode="off"))
+        step_on_d, _ = _packer(make_step_fn(model, daily_mode="on",
+                                            phyto_mode="on"))
+        G = spd // de
+
+        def _run_nd(s, step_nd, length):
+            if length <= 0:
+                return s
+            s, _ = jax.lax.scan(lambda s2, _: (step_nd(s2)[0], None), s,
+                                None, length=length, unroll=unroll)
+            return s
+
+        def chunk(state: WorldState):
+            def day(s, _):
+                s, _ = step_first_nd(s)
+                if G == 1:
+                    s = _run_nd(s, step_off_nd, spd - 2)
+                    s, dlast = step_on_d(s)
+                    d = jax.tree.map(lambda a: a[None], dlast)
+                    return s, d
+                s = _run_nd(s, step_off_nd, de - 2)
+                s, d0 = step_off_d(s)
+
+                def group(s2, _):
+                    s2 = _run_nd(s2, step_off_nd, de - 1)
+                    return step_off_d(s2)
+                s, dmid = jax.lax.scan(group, s, None, length=G - 2)
+                s = _run_nd(s, step_off_nd, de - 1)
+                s, dlast = step_on_d(s)
+                d = jax.tree.map(
+                    lambda a, b, c: jnp.concatenate(
+                        [a[None], b, c[None]], axis=0), d0, dmid, dlast)
+                return s, d
+            state, vec = jax.lax.scan(day, state, None, length=n_days)
+            vec = jax.tree.map(
+                lambda a: a.reshape((n_days * G,) + a.shape[2:]), vec)
+            return state, _unpack(names, vec)
+
+        return chunk
+
     step_first, names = _packer(make_step_fn(model, daily_mode="off",
                                              phyto_mode="cond"))
     step_off, _ = _packer(make_step_fn(model, daily_mode="off",
                                        phyto_mode="off"))
     step_on, _ = _packer(make_step_fn(model, daily_mode="on", phyto_mode="on"))
-    n_days = n // spd
 
     def chunk(state: WorldState):
         def day(s, _):

@@ -102,6 +102,15 @@ class AdvectPlan:
     # [-ceil(b), floor(b)+1] instead of the integer-symmetric window
     b_lon: float = None
     b_lat: float = None
+    # two-tier polar treatment (QD_ADV_POLAR_K2, round 5): rows whose lon
+    # offset bound exceeds k_lon but not k2 are corrected by a SECOND, wide
+    # masked-roll window over just the polar bands (one Pallas VMEM pass),
+    # so only exact2_rows — the few rows hugging the pole caps — pay the
+    # generic gather, whose cost ∝ index rows (perf-notes roofline: the
+    # 64-row exact band is the largest single term of the 361×720 step).
+    k2: int = 0
+    exact2_rows: tuple = ()
+    b_lon2: float = None
     # multi-chip: when a Mesh is attached (parallel.mesh.shard_model_statics
     # does this), the roll window runs under shard_map with ONE K-wide halo
     # exchange per call (2 collective-permutes) instead of a
@@ -112,7 +121,8 @@ class AdvectPlan:
 
 
 def make_advect_plan(n_lat: int, dlat: float, dlon: float, dt: float, a: float,
-                     coslat_rows, vmax: float, k_lon_max: int = 4) -> AdvectPlan:
+                     coslat_rows, vmax: float, k_lon_max: int = 4,
+                     k2: int = 0) -> AdvectPlan:
     """Build a plan from the per-row metric cosφ and the velocity cap.
 
     k_lon is the smallest window covering every row whose offset bound is
@@ -134,9 +144,20 @@ def make_advect_plan(n_lat: int, dlat: float, dlon: float, dt: float, a: float,
     b_lon = float(covered.max()) if covered.size else float(k_lon)
     # small margin for f32 rounding of the departure points
     eps = 1e-5
+    exact2, b_lon2 = exact, None
+    if k2 and k2 > k_lon:
+        covered2 = bound_lon[(bound_lon > k_lon) & (bound_lon <= k2)]
+        if covered2.size:
+            exact2 = tuple(int(r) for r in np.nonzero(bound_lon > k2)[0])
+            b_lon2 = float(covered2.max()) * (1 + eps) + 1e-6
+        else:
+            k2 = 0
+    else:
+        k2 = 0
     return AdvectPlan(k_lon=k_lon, k_lat=max(1, k_lat), exact_rows=exact,
                       b_lon=b_lon * (1 + eps) + 1e-6,
-                      b_lat=float(b_lat) * (1 + eps) + 1e-6)
+                      b_lat=float(b_lat) * (1 + eps) + 1e-6,
+                      k2=int(k2), exact2_rows=exact2, b_lon2=b_lon2)
 
 
 def plan_shifts(plan: AdvectPlan):
@@ -190,7 +211,16 @@ def _advect_windowed(fields, dep_j, dep_i, plan: AdvectPlan):
                 out = out + (Wm * Wk)[None] * jnp.roll(fields, (-m, -k), axis=(1, 2))
 
     if plan.exact_rows:
-        bands = _exact_bands(plan.exact_rows, H)
+        gather_rows = plan.exact_rows
+        if _use_polar_k2(plan, fields):
+            bands2 = _exact_bands(plan.exact_rows, H)
+            if bands2 is not None:
+                out = _polar_band_window(fields, dep_j, dep_i, plan,
+                                         bands2, out)
+                gather_rows = plan.exact2_rows
+        bands = _exact_bands(gather_rows, H) if gather_rows else None
+        if not gather_rows:
+            return out
         if bands is not None:
             # the exact rows hug the poles, so the gather only ever reads a
             # narrow latitude band — slicing the operand keeps XLA from
@@ -199,6 +229,37 @@ def _advect_windowed(fields, dep_j, dep_i, plan: AdvectPlan):
             margin = KL + 1
             band_interp = (_bilinear_band_matmul if _use_polar_matmul(plan)
                            else _bilinear_band_gather)
+            from .. import flags as _flags
+            if (n_top and n_bot and band_interp is _bilinear_band_gather
+                    and _flags.enabled("QD_ADV_BAND_MERGE")):
+                # ONE gather for BOTH polar bands: the top and bottom bands
+                # are stacked along the band-lat axis and the row indices
+                # offset into their halves. Exact: each half's dep_j_local
+                # stays in [0, hb-2] (plan velocity bound), so the corner
+                # rolls inside _bilinear_band_gather never read across the
+                # half boundary. Halves the polar gather/corner-stack event
+                # count per advection site — the step is issue-bound
+                # (perf-notes roofline), so fewer events, not fewer bytes,
+                # is the currency. A/B: QD_ADV_BAND_MERGE=0.
+                lo0 = H - n_bot - margin
+                band_t = jnp.concatenate(
+                    [fields[:, H - margin:], fields[:, :n_top + margin]],
+                    axis=1)
+                band_b = jnp.concatenate(
+                    [fields[:, lo0:], fields[:, :margin]], axis=1)
+                hb_t = band_t.shape[1]
+                B = jnp.concatenate([band_t, band_b], axis=1)
+                dj = jnp.concatenate(
+                    [dep_j[:n_top] + margin,
+                     dep_j[H - n_bot:] - lo0 + hb_t], axis=0)
+                di = jnp.concatenate([dep_i[:n_top], dep_i[H - n_bot:]],
+                                     axis=0)
+                out_r = _bilinear_band_gather(B, dj, di, W)
+                out = jax.lax.dynamic_update_slice_in_dim(
+                    out, out_r[:, :n_top], 0, axis=1)
+                out = jax.lax.dynamic_update_slice_in_dim(
+                    out, out_r[:, n_top:], H - n_bot, axis=1)
+                return out
             if n_top:
                 sl = slice(0, n_top)
                 band = jnp.concatenate(
@@ -216,9 +277,99 @@ def _advect_windowed(fields, dep_j, dep_i, plan: AdvectPlan):
                 out = jax.lax.dynamic_update_slice_in_dim(out, out_r, H - n_bot,
                                                           axis=1)
         else:
-            rows = jnp.asarray(plan.exact_rows, jnp.int32)
+            rows = jnp.asarray(gather_rows, jnp.int32)
             out_r = bilinear_wrap_gather_multi(fields, dep_j[rows, :], dep_i[rows, :])
             out = out.at[:, rows, :].set(out_r)
+    return out
+
+
+def _use_polar_k2(plan: AdvectPlan, fields) -> bool:
+    """Gate for the two-tier polar band window: enabled in the plan
+    (QD_ADV_POLAR_K2 > k_lon with coverable rows), Pallas available on this
+    chip (single-chip TPU f32 — the SPMD path keeps the audited gather),
+    and the scoped-VMEM estimate for the wide unrolled window fits."""
+    if not plan.k2 or plan.exact2_rows == plan.exact_rows:
+        return False
+    if plan.mesh is not None:
+        return False
+    from .. import flags as _flags
+    if not _flags.enabled("QD_PALLAS_ADVECT"):
+        return False
+    if fields.dtype != jnp.float32:
+        return False
+    try:
+        if jax.default_backend() != "tpu" or jax.device_count() != 1:
+            return False
+    except Exception:
+        return False
+    return _polar_k2_vmem_ok(plan, fields.shape)
+
+
+def _polar_k2_vmem_ok(plan: AdvectPlan, shape) -> bool:
+    """Mosaic's scoped-VMEM need for the unrolled rotate accumulation grows
+    ∝ passes × operand bytes (measured: 78 MiB for a 95-pass window on one
+    1.04-MB 361×720 field — pallas_advect.use_pallas_advect). The band
+    operand is only the polar rows + margins, so wide windows fit where the
+    full-grid form cannot; keep the estimate under 64 MiB of the 100-MiB
+    scoped limit."""
+    import math
+    M, H, W = shape
+    n_band = len(plan.exact_rows)
+    margin = plan.k_lat + 1
+    hb = n_band + 4 * margin
+    passes = ((math.ceil(plan.b_lat) + math.floor(plan.b_lat) + 2)
+              * (math.ceil(plan.b_lon2) + math.floor(plan.b_lon2) + 2))
+    Wp = math.ceil(W / 128) * 128
+    hbp = math.ceil(hb / 8) * 8
+    return passes * M * hbp * Wp * 4 * 0.8 < 64 * 1024 * 1024
+
+
+def _polar_band_window(fields, dep_j, dep_i, plan: AdvectPlan, bands, out,
+                       interpret=False):
+    """Tier-2 correction: ONE wide masked-roll window pass over the merged
+    polar bands in VMEM (ops/pallas_advect.py kernel), replacing the
+    generic gather for every exact row whose lon offset bound is ≤ plan.k2.
+
+    Exactness: identical bilinear corner weights; the lat rolls wrap within
+    the merged band, but every kept row's |Δlat| ≤ k_lat < margin keeps its
+    corner reads inside its own half. Non-kept rows (margins, junction) get
+    identity departure points — their outputs are discarded. Rows beyond k2
+    (plan.exact2_rows) are overwritten by the caller's gather."""
+    import math
+    from .pallas_advect import advect_windowed_pallas
+    M, H, W = fields.shape
+    n_top, n_bot = bands
+    margin = plan.k_lat + 1
+    ms = list(range(-math.ceil(plan.b_lat), math.floor(plan.b_lat) + 2))
+    ks2 = list(range(-math.ceil(plan.b_lon2), math.floor(plan.b_lon2) + 2))
+
+    lo0 = H - n_bot - margin
+    band_t = jnp.concatenate(
+        [fields[:, H - margin:], fields[:, :n_top + margin]], axis=1)
+    band_b = jnp.concatenate([fields[:, lo0:], fields[:, :margin]], axis=1)
+    hb_t = band_t.shape[1]
+    B = jnp.concatenate([band_t, band_b], axis=1)
+    hb = B.shape[1]
+
+    dtype = fields.dtype
+    jj = jax.lax.broadcasted_iota(jnp.int32, (hb, W), 0).astype(dtype)
+    ii = jax.lax.broadcasted_iota(jnp.int32, (hb, W), 1).astype(dtype)
+    dj, di = jj, ii                       # identity for non-kept rows
+    dj = jax.lax.dynamic_update_slice_in_dim(
+        dj, dep_j[:n_top] + margin, margin, axis=0)
+    di = jax.lax.dynamic_update_slice_in_dim(
+        di, dep_i[:n_top], margin, axis=0)
+    off_b = hb_t + margin
+    dj = jax.lax.dynamic_update_slice_in_dim(
+        dj, dep_j[H - n_bot:] - lo0 + hb_t, off_b, axis=0)
+    di = jax.lax.dynamic_update_slice_in_dim(
+        di, dep_i[H - n_bot:], off_b, axis=0)
+
+    outB = advect_windowed_pallas(B, dj, di, ms, ks2, interpret=interpret)
+    out = jax.lax.dynamic_update_slice_in_dim(
+        out, outB[:, margin:margin + n_top], 0, axis=1)
+    out = jax.lax.dynamic_update_slice_in_dim(
+        out, outB[:, off_b:off_b + n_bot], H - n_bot, axis=1)
     return out
 
 

@@ -672,7 +672,9 @@ class QingdaiWorld:
         are batched until ≥ QD_DIAG_FETCH_STEPS steps accumulate, then one
         worker task fetches the whole batch in a single device_get."""
         self._diag_batch.append((diags, step0))
-        self._diag_batch_steps += len(jax.tree_util.tree_leaves(diags)[0])
+        # under QD_DIAG_EVERY=N each diag row covers N steps
+        self._diag_batch_steps += (len(jax.tree_util.tree_leaves(diags)[0])
+                                   * max(1, self.cfg.run.diag_every))
         if flush or self._diag_batch_steps >= self.cfg.run.diag_fetch_steps:
             self._diag_flush()
 
@@ -705,11 +707,13 @@ class QingdaiWorld:
         tags run at QD_OCEAN_DIAG_EVERY."""
         cfg = self.cfg
         ocean_every = max(1, int(cfg.ocean.diag_every))
+        de = max(1, cfg.run.diag_every)
         n = len(diags["Ts_mean"])
         for i in range(n):
-            gstep = step0 + i
-            main = gstep % 200 == 0
-            ocean_tick = gstep % ocean_every == 0
+            # diag row i samples step (i+1)·de−1 of the chunk (QD_DIAG_EVERY)
+            gstep = step0 + (i + 1) * de - 1 if de > 1 else step0 + i
+            main = gstep % 200 < de
+            ocean_tick = gstep % ocean_every < de
             if not (main or ocean_tick):
                 continue
             d = {k: float(v[i]) for k, v in diags.items()}

@@ -109,6 +109,16 @@ def main(argv=None):
                         "continuously correct, the standard skill "
                         "demonstration for a damped system whose "
                         "perfect-model errors self-decay")
+    p.add_argument("--obs-mix", default=None,
+                   help="multivariate observing network (VERDICT r4 item "
+                        "5): comma-separated field:count[:err] blocks, "
+                        "e.g. 'T_s:250:0.5,sst:150:0.3,q:100:5e-4' (err "
+                        "defaults to --obs-sigma). Replaces the single "
+                        "--obs-count T_s network; every observed field "
+                        "must be in --fields. SST networks draw over "
+                        "ocean cells only. Not supported together with an "
+                        "augmented-state parameter UPDATE (works with "
+                        "--no-param-update).")
     p.add_argument("--no-free-baseline", action="store_true",
                    help="skip the free-running control ensemble")
     p.add_argument("--json", action="store_true")
@@ -120,6 +130,16 @@ def main(argv=None):
     from qingdai_tpu import assim as A
     from qingdai_tpu import ensemble as E
     from qingdai_tpu import model as M
+
+    obs_spec = None
+    if args.obs_mix:
+        blocks = []
+        for blk in args.obs_mix.split(","):
+            parts = blk.split(":")
+            blocks.append((parts[0], int(parts[1]),
+                           float(parts[2]) if len(parts) > 2
+                           else args.obs_sigma))
+        obs_spec = tuple(blocks)
 
     mdl, base = _build_world(args.nlat, args.nlon)
     spd = int(round(mdl.day_seconds / mdl.dt))
@@ -188,7 +208,9 @@ def main(argv=None):
     if args.est_param and args.no_param_update:
         # imperfect-model OSSE: the biased ensemble runs the plain chunks
         echunk = jax.jit(E.make_ensemble_chunk_fn(mdl, cyc))
-        analysis = jax.jit(A.make_analysis_fn(mdl, cfg, args.obs_count))
+        analysis = jax.jit(
+            A.make_multivar_analysis_fn(mdl, cfg, obs_spec) if obs_spec
+            else A.make_analysis_fn(mdl, cfg, args.obs_count))
     elif args.est_param:
         key_th = jax.random.PRNGKey(args.seed + 99)
         theta = (args.param_prior_mean + args.param_prior_std
@@ -196,11 +218,17 @@ def main(argv=None):
         echunk = jax.jit(A.make_param_ensemble_chunk_fn(mdl,
                                                         (args.est_param,),
                                                         cyc))
+        if obs_spec:
+            raise SystemExit("--obs-mix is not supported with an "
+                             "augmented-state parameter update; add "
+                             "--no-param-update")
         analysis = jax.jit(A.make_augmented_analysis_fn(
             mdl, cfg, args.obs_count, param_rtps=args.param_rtps))
     else:
         echunk = jax.jit(E.make_ensemble_chunk_fn(mdl, cyc))
-        analysis = jax.jit(A.make_analysis_fn(mdl, cfg, args.obs_count))
+        analysis = jax.jit(
+            A.make_multivar_analysis_fn(mdl, cfg, obs_spec) if obs_spec
+            else A.make_analysis_fn(mdl, cfg, args.obs_count))
     w = mdl.grid.area_w
     key = jax.random.PRNGKey(args.seed)
 
@@ -227,10 +255,14 @@ def main(argv=None):
         ens = advance(ens, theta)
         if free is not None:
             free = advance(free, theta_free)
-        key, k_net, k_noise = jax.random.split(key, 3)
-        obs_cell = A.draw_obs_network(k_net, mdl, args.obs_count)
-        y = A.synthetic_obs(k_noise, truth, obs_cell, cfg.obs_field,
-                            cfg.obs_err)
+        if obs_spec is not None:
+            key, k_obs = jax.random.split(key)
+            y, obs_cell = A.draw_multivar_obs(k_obs, mdl, truth, obs_spec)
+        else:
+            key, k_net, k_noise = jax.random.split(key, 3)
+            obs_cell = A.draw_obs_network(k_net, mdl, args.obs_count)
+            y = A.synthetic_obs(k_noise, truth, obs_cell, cfg.obs_field,
+                                cfg.obs_err)
         rmse_b = float(A.rmse_to_truth(ens, truth, "T_s", w))
         spread_b = float(A.ensemble_spread(ens, "T_s", w))
         if est_on:
@@ -238,8 +270,13 @@ def main(argv=None):
         else:
             ens = analysis(ens, y, obs_cell)
         rmse_a = float(A.rmse_to_truth(ens, truth, "T_s", w))
+        spread_a = float(A.ensemble_spread(ens, "T_s", w))
         row = {"cycle": c, "rmse_b_K": round(rmse_b, 4),
-               "rmse_a_K": round(rmse_a, 4), "spread_K": round(spread_b, 4)}
+               "rmse_a_K": round(rmse_a, 4), "spread_K": round(spread_b, 4),
+               # spread-skill consistency: a well-calibrated filter keeps
+               # background spread ≈ background error (ratio ≈ 1)
+               "spread_a_K": round(spread_a, 4),
+               "spread_skill_ratio": round(spread_b / max(rmse_b, 1e-12), 3)}
         if free is not None:
             row["rmse_free_K"] = round(
                 float(A.rmse_to_truth(free, truth, "T_s", w)), 4)
@@ -259,6 +296,7 @@ def main(argv=None):
         "cycles": args.cycles,
         "cycle_steps": cyc,
         "obs_count": args.obs_count,
+        "obs_mix": args.obs_mix,
         "obs_sigma_K": args.obs_sigma,
         "radius_km": args.radius_km,
         "inflation": args.inflation,

@@ -43,6 +43,12 @@ def main(argv=None):
                         "per group) instead of one N-wide vmap — the "
                         "working-set experiment for the N=16 regression "
                         "(docs/perf-notes.md 'Ensemble mode')")
+    p.add_argument("--donate", action="store_true",
+                   help="jit with donate_argnums=0: the ensemble state "
+                        "buffers are donated to each chunk call, letting "
+                        "XLA alias inputs to outputs — the bounded "
+                        "working-set experiment for the N=16 VMEM "
+                        "strip-mining regression (VERDICT r4 item 8)")
     p.add_argument("--profile", metavar="DIR", default=None,
                    help="capture a JAX profiler trace of the timed chunks")
     p.add_argument("--json", action="store_true",
@@ -64,7 +70,8 @@ def main(argv=None):
         if args.members % mc:
             raise SystemExit(f"--member-chunk {mc} must divide "
                              f"--members {args.members}")
-        group_chunk = jax.jit(E.make_ensemble_chunk_fn(mdl, chunk_steps))
+        jkw = {"donate_argnums": 0} if args.donate else {}
+        group_chunk = jax.jit(E.make_ensemble_chunk_fn(mdl, chunk_steps), **jkw)
 
         def echunk(ens_state):
             outs = []
@@ -81,7 +88,8 @@ def main(argv=None):
             # spread_diagnostics sees the FULL ensemble, not the last group
             return (jax.tree.map(cat, *outs), jax.tree.map(cat, *dlist))
     else:
-        echunk = jax.jit(E.make_ensemble_chunk_fn(mdl, chunk_steps))
+        jkw = {"donate_argnums": 0} if args.donate else {}
+        echunk = jax.jit(E.make_ensemble_chunk_fn(mdl, chunk_steps), **jkw)
 
     t0 = time.time()
     ens, diags = echunk(ens)       # compile + warm-up chunk
@@ -117,6 +125,7 @@ def main(argv=None):
         "unit": "member-sim-years/hour",
         "compile_s": round(compile_s, 1),
         "member_chunk": args.member_chunk or args.members,
+        "donate": bool(args.donate),
         "Ts_mean_spread_K": round(spread.get("Ts_mean_spread", float("nan")), 5),
     }
     if not args.json:

@@ -185,3 +185,37 @@ def test_calibrate_newton_hits_target(tiny_world):
     Jx, _ = val({"gh_factor": jnp.asarray(x, jnp.float64)}, state)
     assert abs(float(Jx) - target) < 1e-4
     assert len(hist) <= 4  # Newton on a near-linear response converges fast
+
+
+def test_joint_multiparam_calibration_recovers_truth():
+    """calibrate_joint must recover TWO parameters simultaneously from a
+    synthetic truth trajectory (VERDICT r4 item 6): starting from biased
+    priors, Adam on the multi-series trajectory mismatch pulls both
+    gh_factor and C_E toward the withheld truth values. The assertion is
+    improvement-based (each parameter ends closer than its prior, with
+    substantial joint error reduction) — exact convergence on a 20-step
+    tiny-grid window is not expected."""
+    from __graft_entry__ import _build_world
+    from qingdai_tpu import adjoint as adj
+    from qingdai_tpu import model as M
+
+    mdl, st = _build_world(19, 48, dt_seconds=7200.0, dtype=jnp.float64)
+    chunk = jax.jit(M.make_chunk_fn(mdl, N_STEPS, day_aligned=False))
+    for _ in range(2):  # out of the first cold-start steps
+        st, _ = chunk(st)
+
+    priors = {"gh_factor": 0.40, "c_e": 1.3e-3}
+    truth = {"gh_factor": 0.44, "c_e": 1.7e-3}
+    recovered, history = adj.calibrate_joint(
+        mdl, st, priors, truth, n_steps=20,
+        obs_keys=("Ts_mean", "OLR_mean", "E_mean"),
+        iters=25, lr=0.08, verbose=False)
+
+    rel = {k: abs(recovered[k] - truth[k]) / truth[k] for k in priors}
+    rel0 = {k: abs(priors[k] - truth[k]) / truth[k] for k in priors}
+    # every parameter improves; the joint error at least halves
+    for k in priors:
+        assert rel[k] < rel0[k], (k, recovered[k], history[-3:])
+    assert sum(rel.values()) < 0.5 * sum(rel0.values()), (recovered, rel)
+    # and the optimizer actually descended
+    assert history[-1][2] < history[0][2]

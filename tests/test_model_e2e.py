@@ -138,3 +138,38 @@ def test_day_aligned_chunk_matches_cond_chunk():
         assert d1[k].shape == d2[k].shape
         np.testing.assert_allclose(np.asarray(d1[k]), np.asarray(d2[k]),
                                    rtol=1e-6, atol=1e-7, err_msg=k)
+
+
+def test_diag_every_state_bit_identical():
+    """QD_DIAG_EVERY=N skips diag-only reductions on non-emitting steps;
+    the state trajectory must be BIT-identical and the emitted diag rows
+    must equal the strided per-step samples (row i == step (i+1)N-1), in
+    both the day-aligned and cond chunk structures."""
+    mdl = _build(QD_DT_SECONDS=7200)  # 10 steps/day
+    st0 = M.init_world(mdl)
+    n = 20
+    for aligned in (True, False):
+        c1 = jax.jit(M.make_chunk_fn(mdl, n, day_aligned=aligned,
+                                     diag_every=1))
+        c5 = jax.jit(M.make_chunk_fn(mdl, n, day_aligned=aligned,
+                                     diag_every=5))
+        s1, d1 = c1(st0)
+        s5, d5 = c5(st0)
+        for (p, a), (_, b) in zip(
+                jax.tree_util.tree_flatten_with_path(s1)[0],
+                jax.tree_util.tree_flatten_with_path(s5)[0]):
+            assert np.array_equal(np.asarray(a), np.asarray(b),
+                                  equal_nan=True), jax.tree_util.keystr(p)
+        idx = np.arange(1, n // 5 + 1) * 5 - 1
+        for k in d1:
+            assert np.asarray(d5[k]).shape[0] == n // 5, k
+            assert np.array_equal(np.asarray(d1[k])[idx], np.asarray(d5[k]),
+                                  equal_nan=True), k
+
+
+def test_diag_every_nondivisible_falls_back():
+    mdl = _build(QD_DT_SECONDS=7200)
+    st0 = M.init_world(mdl)
+    chunk = jax.jit(M.make_chunk_fn(mdl, 10, diag_every=3))  # 3 ∤ 10
+    _, d = chunk(st0)
+    assert np.asarray(d["Ts_mean"]).shape[0] == 10  # fell back to every-step

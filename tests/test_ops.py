@@ -346,3 +346,40 @@ def test_pallas_hyper4_matches_jnp():
                                   interpret=True)
         np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
                                    rtol=1e-5, atol=1e-4)
+
+
+def test_polar_band_window_matches_gather(rng):
+    """Two-tier polar treatment (QD_ADV_POLAR_K2): the wide Pallas band
+    window (interpret mode here) must equal the exact gather on every
+    tier-1 row (offset bound in (k_lon, k2]); tier-2 rows stay with the
+    gather."""
+    import jax.numpy as jnp
+    from qingdai_tpu import constants as const
+    from qingdai_tpu.grid import make_grid
+    from qingdai_tpu.ops import advect as adv
+
+    H, W = 91, 184
+    g = make_grid(H, W)
+    F = jnp.asarray(rng.standard_normal((2, H, W)), jnp.float32)
+    u = jnp.asarray(np.clip(120 * rng.standard_normal((H, W)), -200, 200),
+                    jnp.float32)
+    v = jnp.asarray(np.clip(120 * rng.standard_normal((H, W)), -200, 200),
+                    jnp.float32)
+    dt = 300.0
+    plan = adv.make_advect_plan(H, g.dlat_rad, g.dlon_rad, dt,
+                                const.PLANET_RADIUS,
+                                np.asarray(g.coslat_cap_tiny)[:, 0],
+                                vmax=200.0, k2=12)
+    assert plan.k2 == 12 and len(plan.exact2_rows) < len(plan.exact_rows)
+    dep_j, dep_i = adv.departure_indices(
+        (H, W), u, v, dt, const.PLANET_RADIUS, g.dlat_rad, g.dlon_rad,
+        g.coslat_cap_tiny, F.dtype)
+    ref = adv.bilinear_wrap_gather_multi(F, dep_j, dep_i)
+    bands = adv._exact_bands(plan.exact_rows, H)
+    out = adv._polar_band_window(F, dep_j, dep_i, plan, bands,
+                                 jnp.zeros_like(F), interpret=True)
+    tier1 = [r for r in plan.exact_rows if r not in plan.exact2_rows]
+    assert tier1
+    np.testing.assert_allclose(np.asarray(out)[:, tier1],
+                               np.asarray(ref)[:, tier1],
+                               rtol=1e-5, atol=1e-5)
