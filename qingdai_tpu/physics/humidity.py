@@ -46,7 +46,10 @@ def condensation(q, T_a, dt, cfg: HumidityConfig):
     qsat_air = q_sat(T_a, p=cfg.p0)
     excess = jnp.maximum(0.0, q - qsat_air)
     M_col = max(1e-6, float(cfg.rho_a * cfg.h_mbl))
-    P_cond = (excess / max(1e-6, float(cfg.tau_cond))) * M_col
+    # tau_cond may be a TRACED scalar (adjoint parameter injection,
+    # adjoint.PARAM_ALIASES) — jnp.maximum keeps it differentiable where
+    # the old host-side float() clamp broke the trace
+    P_cond = (excess / jnp.maximum(1e-6, cfg.tau_cond)) * M_col
     q_next = jnp.clip(q - (P_cond / M_col) * dt, 0.0, 0.5)
     return P_cond, q_next
 

@@ -289,6 +289,19 @@ def main(argv=None):
             print(f"[Assim] {row}", flush=True)
     wall = time.time() - t0
 
+    # final-cycle multi-field RMSE: the T_s series metric understates what
+    # a multivariate network buys — record every assimilated field's
+    # analysis (and free) error against the truth
+    final_rmse = {}
+    for f in cfg.fields:
+        try:
+            final_rmse[f] = round(float(A.rmse_to_truth(ens, truth, f, w)), 6)
+            if free is not None:
+                final_rmse[f + "_free"] = round(
+                    float(A.rmse_to_truth(free, truth, f, w)), 6)
+        except Exception:
+            pass
+
     summary = {
         "metric": "letkf_osse",
         "grid": f"{args.nlat}x{args.nlon}",
@@ -307,6 +320,7 @@ def main(argv=None):
         "solver": args.solver,
         "rmse_a_final_K": series[-1]["rmse_a_K"],
         "rmse_free_final_K": series[-1].get("rmse_free_K"),
+        "final_rmse_by_field": final_rmse,
         "series": series,
         "wall_s": round(wall, 1),
     }

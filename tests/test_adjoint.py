@@ -209,7 +209,7 @@ def test_joint_multiparam_calibration_recovers_truth():
     recovered, history = adj.calibrate_joint(
         mdl, st, priors, truth, n_steps=20,
         obs_keys=("Ts_mean", "OLR_mean", "E_mean"),
-        iters=25, lr=0.08, verbose=False)
+        iters=12, lr=0.14, verbose=False)
 
     rel = {k: abs(recovered[k] - truth[k]) / truth[k] for k in priors}
     rel0 = {k: abs(priors[k] - truth[k]) / truth[k] for k in priors}
