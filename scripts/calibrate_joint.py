@@ -56,11 +56,24 @@ def main(argv=None):
                         "matches — distinct parameters imprint on distinct "
                         "series, which is what makes the JOINT problem "
                         "identifiable")
+    p.add_argument("--cpu", action="store_true",
+                   help="force the CPU backend (env-var route is ignored by "
+                        "this machine's sitecustomize)")
+    p.add_argument("--x64", action="store_true",
+                   help="f64 build + x64 mode — the certified adjoint path "
+                        "for the committed CALIB record (the f32 TPU path "
+                        "NaNs on the SERIES objective at 181x360; doc 19 "
+                        "round-5 note)")
     p.add_argument("--out", default=None, help="write CALIB-style JSON here")
     p.add_argument("--json", action="store_true")
     args = p.parse_args(argv)
 
     import jax
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
+    if args.x64:
+        jax.config.update("jax_enable_x64", True)
+    import jax.numpy as jnp
     from __graft_entry__ import _build_world
     from qingdai_tpu import adjoint as adj
     from qingdai_tpu import model as M
@@ -69,7 +82,8 @@ def main(argv=None):
     truths = [float(s) for s in args.truths.split(",")]
     assert len(names) == len(truths), "--truths must match --params"
 
-    mdl, state = _build_world(args.nlat, args.nlon)
+    kw = {"dtype": jnp.float64} if args.x64 else {}
+    mdl, state = _build_world(args.nlat, args.nlon, **kw)
     spd = int(round(mdl.day_seconds / mdl.dt))
     n_steps = args.steps or int(round(args.days * spd))
 
@@ -109,6 +123,7 @@ def main(argv=None):
         "obs_keys": args.obs_keys,
         "iters": args.iters,
         "lr": args.lr,
+        "x64": bool(args.x64),
         "params": names,
         "truth": truth,
         "prior": priors,

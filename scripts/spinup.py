@@ -151,21 +151,30 @@ def run_phase(name, years, env, chunk_days=10, verbose_every=50):
     pool = ThreadPoolExecutor(max_workers=1, thread_name_prefix="spinup-io")
     futures = []
 
-    def reduce_chunk(diags_ref, t_yr):
-        d = jax.device_get(diags_ref)
+    def reduce_chunk(means_ref, t_yr):
+        # fetch 38 SCALARS, not 38 × [chunk]-long stacks: the chunk means
+        # are reduced ON DEVICE below, so one tunnel round-trip (~0.4 s
+        # latency regardless of size) finishes each row. With the old
+        # full-stack fetch the IO worker fell hopelessly behind the 721×1440
+        # compute stream — a 70-min killed segment had resolved only 2 of
+        # ~100 rows, so the 15-min partial-series insurance dumps were
+        # nearly empty and the segment record was lost (round-5 session).
+        d = jax.device_get(means_ref)
         row = {}
         for k in KEYS:
-            row[k] = float(np.mean(d[k]))
+            row[k] = float(d[k])
         for k in OPT_KEYS:
-            row[k] = float(np.mean(d[k])) if k in d else float("nan")
+            row[k] = float(d[k]) if k in d else float("nan")
         return t_yr, row
 
+    import jax.numpy as jnp
     t_wall0 = time.time()
     next_autosave = time.time() + 900.0
     for c in range(n_chunks):
         diags = world.step_chunk(chunk)
+        means = {k: jnp.mean(v) for k, v in diags.items()}
         t_yr = (world.t_seconds - world.t0_seconds) / T_PLANET
-        futures.append(pool.submit(reduce_chunk, diags, t_yr))
+        futures.append(pool.submit(reduce_chunk, means, t_yr))
         # crash insurance on multi-hour phases: async autosave every ~15 wall
         # minutes (device_get + NetCDF writes run on the world's IO worker,
         # off the scan loop; a killed run resumes from data/ instead of

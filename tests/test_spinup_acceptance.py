@@ -149,3 +149,35 @@ def test_4x_resolution_record_closures():
               "routing_mass_error_fully_decomposed",
               "eval_window_free_of_transients"):
         assert a[k] is True, (k, a)
+
+
+def test_round5_staged_chain_records():
+    """The round-5 STAGED resolution chain (docs/11 'Staged resolution
+    chain'): 181×360 two-phase SOP → regrid → 361×720 segment → regrid →
+    721×1440 segments, each stage a committed record. The intermediate
+    stages are warm-up segments: every CLOSURE criterion must pass; the
+    equilibrium-trend criteria legitimately fail while each grid pulls
+    toward its own climate and are NOT asserted. The final 721 segment
+    (SPINUP_r5_721.json) resumed bit-exactly from the killed first
+    segment's autosave sidecar with the persistent-XLA-cache compile
+    (minutes, vs the 28-minute cold compile — BASELINE.md round-5)."""
+    base = os.path.dirname(ART)
+    recs = {}
+    for name in ("SPINUP_r5_181.json", "SPINUP_r5_361.json",
+                 "SPINUP_r5_721.json"):
+        p = os.path.join(base, name)
+        if not os.path.exists(p):
+            pytest.skip(f"no {name}")
+        with open(p) as f:
+            recs[name] = json.load(f)
+    assert recs["SPINUP_r5_181.json"]["grid"] == [181, 360]
+    assert recs["SPINUP_r5_361.json"]["grid"] == [361, 720]
+    assert recs["SPINUP_r5_721.json"]["grid"] == [721, 1440]
+    for name, d in recs.items():
+        a = d["acceptance"]
+        for k in ("TOA_attribution_residual_lt_2",
+                  "water_closure_net_of_qdamping_lt_5pct",
+                  "LH_consistency_net_of_qdamping_lt_5pct",
+                  "fluid_reservoir_drift_small",
+                  "routing_mass_error_fully_decomposed"):
+            assert a[k] is True, (name, k, a)
